@@ -1,0 +1,28 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the reference's strategy of testing device kernels against the CPU
+oracle on a single machine (SURVEY.md §4); multi-chip sharding is exercised
+with ``--xla_force_host_platform_device_count=8`` as the TPU-mesh stand-in.
+
+Note: this environment pre-imports jax via sitecustomize (axon PJRT), so
+the platform must be forced through ``jax.config`` rather than env vars.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0x5DBE6259)  # seeded, deterministic
