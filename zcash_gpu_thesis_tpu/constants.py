@@ -55,13 +55,19 @@ G2_COFACTOR = 0x5D543A95414E7F1091D50792876A202CD91DE4547085ABAA68A205B2E5A7DDFA
 FQ_BITS = 381
 FR_BITS = 255
 
-# Limb layout: 16-bit limbs held in int32 lanes (TPU has no 64-bit carry
-# chains; 16x16->32-bit products are exact in wrapped int32 — the same
-# reason the reference's OpenCL port split u64 into u32 halves,
-# bellman/src/bls12-381.cl:6-20, taken one step further for VPU lanes).
-LIMB_BITS = 16
-FQ_LIMBS = 24   # 24 * 16 = 384 bits  -> Montgomery R = 2^384 (matches fq.rs)
-FR_LIMBS = 16   # 16 * 16 = 256 bits  -> Montgomery R = 2^256 (matches fr.rs)
+# Limb layout: 12-bit limbs held in int32 lanes (TPU has no 64-bit carry
+# chains; the reference's OpenCL port split u64 into u32 halves for the same
+# reason, bellman/src/bls12-381.cl:6-20).  12-bit limbs are chosen so that a
+# full schoolbook product row (<= 33 partial products of < 2^24 each, plus
+# redundancy slack) accumulates exactly in an int32 lane with *no* per-step
+# carry handling; carries are resolved by a 3-round parallel "ripple" pass.
+LIMB_BITS = 12
+FQ_LIMBS = 33   # 33 * 12 = 396 bits  -> Montgomery R = 2^396
+FR_LIMBS = 24   # 24 * 12 = 288 bits  -> Montgomery R = 2^288
+# Lazy-reduction fold boundary B = 2^(12*FOLD): values are kept < 2*B.
+# Requires B >= 8*p (three bits of headroom): 2^384 ~ 9.9q, 2^264 ~ 2^9.1 r.
+FQ_FOLD = 32    # B_q = 2^384
+FR_FOLD = 22    # B_r = 2^264
 
 
 def _egcd(a: int, b: int):
@@ -80,14 +86,15 @@ def modinv(a: int, m: int) -> int:
 
 
 # Montgomery parameters, computed (fq.rs INV/R/R2 and fr.rs equivalents are
-# the 64-bit-limb versions of the same quantities).
-FQ_R = pow(2, FQ_LIMBS * LIMB_BITS, Q)          # 2^384 mod q
-FQ_R2 = pow(2, 2 * FQ_LIMBS * LIMB_BITS, Q)     # (2^384)^2 mod q
-FQ_INV16 = (-modinv(Q, 1 << LIMB_BITS)) % (1 << LIMB_BITS)   # -q^-1 mod 2^16
+# the 64-bit-limb versions of the same quantities; our R differs — 2^396 /
+# 2^288 instead of 2^384 / 2^256 — canonical values are unaffected).
+FQ_R = pow(2, FQ_LIMBS * LIMB_BITS, Q)          # 2^396 mod q
+FQ_R2 = pow(2, 2 * FQ_LIMBS * LIMB_BITS, Q)
+FQ_NPRIME = (-modinv(Q, 1 << (FQ_LIMBS * LIMB_BITS))) % (1 << (FQ_LIMBS * LIMB_BITS))
 
 FR_R = pow(2, FR_LIMBS * LIMB_BITS, R)
 FR_R2 = pow(2, 2 * FR_LIMBS * LIMB_BITS, R)
-FR_INV16 = (-modinv(R, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+FR_NPRIME = (-modinv(R, 1 << (FR_LIMBS * LIMB_BITS))) % (1 << (FR_LIMBS * LIMB_BITS))
 
 # Root of unity for the maximal power-of-two subgroup of Fr^* :
 # 7^((r-1)/2^32) mod r (fr.rs ROOT_OF_UNITY in Montgomery form).

@@ -1,25 +1,31 @@
-"""Vectorized prime-field arithmetic on 16-bit limbs in int32 lanes.
+"""Carry-free lazy-reduction prime-field arithmetic on 12-bit limbs.
 
 TPU-native re-design of the reference's Montgomery field layer
 (``pairing/src/bls12_381/fq.rs`` / ``fr.rs`` on CPU and the CIOS OpenCL port
-``bellman/src/bls12-381.cl:191-1700``).  Instead of array-of-structs with
-u64 carry chains, every element is a little-endian array of 16-bit limbs in
-``int32`` lanes, shape ``[..., L]``, and every operation is batch-first: the
-batch axis is the VPU vector axis, the limb axis is short and static.
+``bellman/src/bls12-381.cl:191-1700``).  The reference's CIOS loop is a long
+serial carry chain — exactly what vector lanes cannot do.  Here every element
+is a little-endian array of 12-bit limbs in ``int32`` lanes, shape
+``[..., L]``, and *all* hot-path operations are straight-line vector code
+with **no** ``lax.scan`` / sequential carry propagation:
 
-Key invariants:
-  * canonical elements have every limb in [0, 2^16) and value < modulus;
-  * Montgomery form uses R = 2^(16*L)  (2^384 for Fq, 2^256 for Fr), the
-    same R as the reference (fq.rs R / fr.rs R), so Montgomery-domain
-    integers match bellman bit-for-bit;
-  * 16x16-bit limb products are exact in wrapped int32; lo/hi 16-bit halves
-    are extracted with ``& 0xffff`` and ``(>> 16) & 0xffff`` (correct under
-    two's-complement wrap), and partial sums of <= ~2^6 such halves stay far
-    below 2^31, so no other overflow handling is needed.
+  * 12x12-bit limb products are < 2^24, so a full schoolbook product row
+    (<= 33 partial products) accumulates exactly in an int32 lane — the
+    convolution needs no interleaved carries at all;
+  * carries are then resolved by a fixed 3-round parallel "ripple"
+    (mask + shift + add), which provably reduces any < 2^30 accumulator
+    limbs to <= 2^12 + 1;
+  * Montgomery reduction is the full-width REDC (m = t*N' mod R;
+    t' = (t + m*q) / R) built from two *constant-operand* convolutions,
+    plus an exact final carry obtained from a zero-test of the low half —
+    t_lo + (m*q)_lo is 0 or exactly R, never anything else;
+  * values are kept *lazily reduced*: the standing invariant is
+    ``value < 2*B`` (B = 2^(12*FOLD), B >= 8p) with non-negative limbs
+    <= 2^12 + 2.  add/sub/small-multiples restore the invariant with a
+    cheap "fold" of the top limb(s) against delta = B mod p — never a
+    comparison, never a conditional subtract.
 
-Inner limb loops use ``lax.scan`` / ``lax.fori_loop`` so each field op stays
-~O(100) HLO ops: these primitives get nested inside MSM segment-scans and
-NTT stages, where unrolled carry chains would multiply graph size.
+Only boundary operations (canonicalization for I/O and equality) use an
+exact serial carry pass; they are out of every hot loop.
 
 All functions are pure and jit-/vmap-/shard_map-compatible.
 """
@@ -33,28 +39,80 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..constants import FQ_LIMBS, FR_LIMBS, LIMB_BITS, Q, R, modinv
+from ..constants import FQ_FOLD, FQ_LIMBS, FR_FOLD, FR_LIMBS, LIMB_BITS, Q, R, modinv
 from ..utils.limbs import int_to_limbs, limbs_to_int
 
 MASK = (1 << LIMB_BITS) - 1
+LMAX = (1 << LIMB_BITS) + 2  # max limb value under the standing invariant
+
+
+def _digits_in_range(value: int, lows, highs, base: int = 1 << LIMB_BITS):
+    """Find digits d_k in [lows[k], highs[k]] with sum d_k base^k == value."""
+    n = len(lows)
+    lo_prefix = [0] * (n + 1)
+    hi_prefix = [0] * (n + 1)
+    for k in range(n):
+        lo_prefix[k + 1] = lo_prefix[k] + lows[k] * base**k
+        hi_prefix[k + 1] = hi_prefix[k] + highs[k] * base**k
+    assert lo_prefix[n] <= value <= hi_prefix[n], "value outside digit range"
+    out = [0] * n
+    rem = value
+    for k in range(n - 1, -1, -1):
+        d = max(lows[k], -((hi_prefix[k] - rem) // base**k))  # ceil div
+        assert lows[k] <= d <= highs[k]
+        out[k] = d
+        rem -= d * base**k
+        assert lo_prefix[k] <= rem <= hi_prefix[k]
+    assert rem == 0
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
 class FieldSpec:
-    """Static description of a prime field in 16-bit-limb representation."""
+    """Static description of a prime field in lazy 12-bit-limb representation.
+
+    Derived quantities:
+      * ``fold``: fold boundary index F; B = 2^(12F) >= 8p.  Invariant for
+        every stored element: value < 2B, limbs non-negative <= 2^12+2.
+      * ``r`` = R mod p with R = 2^(12L) (Montgomery radix), ``r2`` = R^2.
+      * ``nprime_digits``: digits of -p^-1 mod R (for REDC).
+      * ``delta_digits``: digits of B mod p (< p), used by the lazy fold.
+      * ``sub_digits``: digits of a multiple M = c*p chosen so every digit
+        dominates the invariant limb bound — M - y is limb-wise non-negative
+        for any valid y, making subtraction carry-free.
+    """
 
     name: str
     modulus: int
     n_limbs: int
+    fold: int
 
     def __post_init__(self):
-        object.__setattr__(self, "bits", self.modulus.bit_length())
-        object.__setattr__(self, "r", pow(2, self.n_limbs * LIMB_BITS, self.modulus))
-        object.__setattr__(self, "r2", pow(2, 2 * self.n_limbs * LIMB_BITS, self.modulus))
+        p, L, F = self.modulus, self.n_limbs, self.fold
+        B = 1 << (LIMB_BITS * F)
+        assert B >= 8 * p, "fold boundary needs 3 bits of headroom"
+        assert L >= F + 1
+        # REDC validity: t = a*b < (2B)^2 must stay < R*p.
+        assert 4 * B * B < (1 << (LIMB_BITS * L)) * p, "R too small for REDC"
+        object.__setattr__(self, "bits", p.bit_length())
+        object.__setattr__(self, "r", pow(2, L * LIMB_BITS, p))
+        object.__setattr__(self, "r2", pow(2, 2 * L * LIMB_BITS, p))
+        nprime = (-modinv(p, 1 << (L * LIMB_BITS))) % (1 << (L * LIMB_BITS))
+        object.__setattr__(self, "p_digits", int_to_limbs(p, L))
+        object.__setattr__(self, "nprime_digits", int_to_limbs(nprime, L))
+        object.__setattr__(self, "delta_digits", int_to_limbs(B % p, L))
+        # Dominating multiple of p for carry-free subtraction: digits in
+        # [2^12+2, 2^13+3] below the fold limb, [2, 2^13+3] at the fold limb.
+        lows = [LMAX] * F + [2] + [0] * (L - F - 1)
+        highs = [(1 << (LIMB_BITS + 1)) + 3] * (F + 1) + [0] * (L - F - 1)
+        vmin = sum(lows[k] << (LIMB_BITS * k) for k in range(L))
+        c = -(-vmin // p)  # ceil
+        m = c * p
         object.__setattr__(
-            self, "inv16", (-modinv(self.modulus, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+            self, "sub_digits", np.asarray(_digits_in_range(m, lows, highs), np.int32)
         )
-        object.__setattr__(self, "mod_limbs", int_to_limbs(self.modulus, self.n_limbs))
+        object.__setattr__(self, "one_digits", int_to_limbs(self.r, L))
+        object.__setattr__(self, "r2_digits", int_to_limbs(self.r2, L))
 
     # -- host-side conversions ---------------------------------------------
 
@@ -68,65 +126,90 @@ class FieldSpec:
         return x * modinv(self.r, self.modulus) % self.modulus
 
 
-FQ = FieldSpec("Fq", Q, FQ_LIMBS)
-FR = FieldSpec("Fr", R, FR_LIMBS)
+FQ = FieldSpec("Fq", Q, FQ_LIMBS, FQ_FOLD)
+FR = FieldSpec("Fr", R, FR_LIMBS, FR_FOLD)
 
 
 # ---------------------------------------------------------------------------
-# Limb-level helpers.
+# Limb-level helpers (all straight-line vector code).
 # ---------------------------------------------------------------------------
 
 
-def _carry_norm(t, n_out):
-    """Propagate carries over nonneg int32 limbs t[.., K]; emit n_out limbs.
+def _ripple(x, rounds: int):
+    """Parallel carry resolution: `rounds` passes of mask/shift/add.
 
-    Values in ``t`` must be < 2^31.  Returns (normalized [.., n_out] limbs,
-    leftover carry [.., 1]).  Implemented as a scan over the limb axis.
+    Each pass replaces limb k by (x_k & MASK) + (x_{k-1} >> 12).  Values are
+    preserved exactly provided the top limb never overflows 12 bits (true
+    under the documented bounds).  Three rounds reduce any <2^30 accumulator
+    to limbs <= 2^12 + 1.
     """
-    k = t.shape[-1]
-    if k < n_out:
-        pad = jnp.zeros(t.shape[:-1] + (n_out - k,), dtype=jnp.int32)
-        t = jnp.concatenate([t, pad], axis=-1)
-    tm = jnp.moveaxis(t[..., :n_out], -1, 0)  # [n_out, ...]
-    rest = t[..., n_out:]
-
-    def body(carry, v):
-        s = v + carry
-        return s >> LIMB_BITS, s & MASK
-
-    carry0 = jnp.zeros(t.shape[:-1], dtype=jnp.int32)
-    carry, outs = lax.scan(body, carry0, tm)
-    # Any limbs beyond n_out are the caller-declared overflow region.
-    if rest.shape[-1]:
-        carry = carry + jnp.sum(rest, axis=-1)  # caller guarantees zero/known
-    return jnp.moveaxis(outs, 0, -1), carry[..., None]
+    zero = jnp.zeros(x.shape[:-1] + (1,), dtype=jnp.int32)
+    for _ in range(rounds):
+        carry = jnp.concatenate([zero, (x >> LIMB_BITS)[..., :-1]], axis=-1)
+        x = (x & MASK) + carry
+    return x
 
 
-def _borrow_sub(a, b, n):
-    """a - b limb-wise with borrow chain; returns (diff[.., n], borrow[.., 1])."""
-    am = jnp.moveaxis(a, -1, 0)
-    bm = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0)
-
-    def body(borrow, ab):
-        ai, bi = ab
-        t = ai - bi - borrow
-        return (t >> 31) & 1, t & MASK
-
-    borrow0 = jnp.zeros(a.shape[:-1], dtype=jnp.int32)
-    borrow, outs = lax.scan(body, borrow0, (am, bm))
-    return jnp.moveaxis(outs, 0, -1), borrow[..., None]
+def _ripple_mod(x, rounds: int):
+    """Like _ripple but drops carries out of the top limb (i.e. works
+    mod 2^(12*n) — used when computing m = t*N' mod R in REDC)."""
+    zero = jnp.zeros(x.shape[:-1] + (1,), dtype=jnp.int32)
+    for _ in range(rounds):
+        carry = jnp.concatenate([zero, (x >> LIMB_BITS)[..., :-1]], axis=-1)
+        x = (x & MASK) + carry
+    return x.at[..., -1].set(x[..., -1] & MASK)
 
 
-def _cond_sub_modulus(spec: FieldSpec, s, overflow):
-    """Return s - p if (overflow | s >= p) else s; s has canonical limbs."""
-    p = jnp.asarray(spec.mod_limbs, dtype=jnp.int32)
-    d, borrow = _borrow_sub(s, p, spec.n_limbs)
-    ge = jnp.logical_or(overflow[..., 0] != 0, borrow[..., 0] == 0)
-    return jnp.where(ge[..., None], d, s)
+def _fold(spec: FieldSpec, x):
+    """Fold limbs >= F back below the boundary: x mod B + top*(B mod p).
+
+    Keeps the residue class mod p; output value < B + (top+1)*p, so with
+    top <= 7 the standing invariant (value < 2B) is restored.
+    """
+    F, L = spec.fold, spec.n_limbs
+    top = x[..., F]
+    for k in range(F + 1, L):
+        top = top + (x[..., k] << (LIMB_BITS * (k - F)))
+    delta = jnp.asarray(spec.delta_digits, dtype=jnp.int32)
+    low = jnp.concatenate(
+        [x[..., :F], jnp.zeros(x.shape[:-1] + (L - F,), dtype=jnp.int32)], axis=-1
+    )
+    return low + top[..., None] * delta
+
+
+def _conv(a, b):
+    """Schoolbook convolution of two [.., L] limb arrays -> raw [.., 2L].
+
+    No carries: products < 2^24 (+ redundancy slack), <= L of them per output
+    limb, all exact in int32.
+    """
+    n = a.shape[-1]
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, shape + (n,))
+    b = jnp.broadcast_to(b, shape + (n,))
+    acc = jnp.zeros(shape + (2 * n,), dtype=jnp.int32)
+    for i in range(n):
+        acc = acc.at[..., i : i + n].add(a[..., i : i + 1] * b)
+    return acc
+
+
+def _conv_const(a, digits, out_len: int):
+    """Convolution of [.., n] limbs with a small host-constant digit vector,
+    truncated to out_len output limbs (drops limbs >= out_len)."""
+    n = a.shape[-1]
+    acc = jnp.zeros(a.shape[:-1] + (out_len,), dtype=jnp.int32)
+    for j, d in enumerate(digits):
+        d = int(d)
+        if d == 0 or j >= out_len:
+            continue
+        width = min(n, out_len - j)
+        acc = acc.at[..., j : j + width].add(d * a[..., :width])
+    return acc
 
 
 # ---------------------------------------------------------------------------
-# Public field ops.  All take/return int32 [..., L] canonical limbs.
+# Public field ops.  All take/return int32 [..., L] lazy limbs
+# (non-negative, <= 2^12+2, value < 2B) unless stated otherwise.
 # ---------------------------------------------------------------------------
 
 
@@ -135,7 +218,7 @@ def zeros(spec: FieldSpec, shape=()):
 
 
 def const(spec: FieldSpec, x: int, shape=()):
-    """Broadcast a host integer (reduced mod p) as limbs."""
+    """Broadcast a host integer (reduced mod p) as canonical limbs."""
     v = jnp.asarray(spec.to_limbs(x), dtype=jnp.int32)
     return jnp.broadcast_to(v, tuple(shape) + (spec.n_limbs,))
 
@@ -149,22 +232,25 @@ def one_mont(spec: FieldSpec, shape=()):
     return const(spec, spec.r, shape)
 
 
-def is_zero(spec: FieldSpec, a):
-    return jnp.all(a == 0, axis=-1)
-
-
-def eq(spec: FieldSpec, a, b):
-    return jnp.all(a == b, axis=-1)
-
-
 def select(mask, a, b):
     """where(mask, a, b) with mask broadcast over the limb axis."""
     return jnp.where(mask[..., None], a, b)
 
 
+def _normalize(spec: FieldSpec, x):
+    """Restore the invariant after a bounded accumulation: one carry round so
+    the top limb reflects the value, fold it, two rounds to settle limbs.
+    Correct for any x with limbs < 2^18 and value < 8B."""
+    return _ripple(_fold(spec, _ripple(x, 1)), 2)
+
+
 def add(spec: FieldSpec, a, b):
-    s, carry = _carry_norm(a + b, spec.n_limbs)
-    return _cond_sub_modulus(spec, s, carry)
+    return _normalize(spec, a + b)
+
+
+def add3(spec: FieldSpec, a, b, c):
+    """a + b + c with a single normalization (value < 6B — still safe)."""
+    return _normalize(spec, a + b + c)
 
 
 def double(spec: FieldSpec, a):
@@ -172,86 +258,52 @@ def double(spec: FieldSpec, a):
 
 
 def sub(spec: FieldSpec, a, b):
-    b = jnp.broadcast_to(b, jnp.broadcast_shapes(a.shape, b.shape))
-    a = jnp.broadcast_to(a, b.shape)
-    d, borrow = _borrow_sub(a, b, spec.n_limbs)
-    # If we borrowed, add the modulus back.
-    p = jnp.asarray(spec.mod_limbs, dtype=jnp.int32)
-    s, _ = _carry_norm(d + p, spec.n_limbs)
-    return jnp.where(borrow[..., 0:1] != 0, s, d)
+    """a - b via the carry-free dominating-multiple trick: a + (M - b).
+
+    M's digits dominate any valid operand's limbs, so M - b is limb-wise
+    non-negative: no borrows exist anywhere in the pipeline.
+    """
+    m = jnp.asarray(spec.sub_digits, dtype=jnp.int32)
+    return _normalize(spec, a + (m - b))
 
 
 def neg(spec: FieldSpec, a):
-    p = jnp.broadcast_to(jnp.asarray(spec.mod_limbs, dtype=jnp.int32), a.shape)
-    d, _ = _borrow_sub(p, a, spec.n_limbs)
-    return jnp.where(is_zero(spec, a)[..., None], jnp.zeros_like(a), d)
+    m = jnp.asarray(spec.sub_digits, dtype=jnp.int32)
+    return _normalize(spec, m - a)
 
 
-def _mul_wide(a, b, n):
-    """Schoolbook product of n-limb operands -> normalized 2n-limb result."""
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, shape + (n,))
-    b = jnp.broadcast_to(b, shape + (n,))
-    acc = jnp.zeros(shape + (2 * n,), dtype=jnp.int32)
-    zcol = jnp.zeros(shape + (1,), dtype=jnp.int32)
-
-    def body(i, acc):
-        ai = lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # [.., 1]
-        p = ai * b  # wrapped int32; bits exact
-        lo = p & MASK
-        hi = (p >> LIMB_BITS) & MASK
-        contrib = jnp.concatenate([lo, zcol], axis=-1) + jnp.concatenate(
-            [zcol, hi], axis=-1
-        )  # [.., n+1], values <= 2*0xffff
-        cur = lax.dynamic_slice_in_dim(acc, i, n + 1, axis=-1)
-        return lax.dynamic_update_slice_in_dim(acc, cur + contrib, i, axis=-1)
-
-    acc = lax.fori_loop(0, n, body, acc)
-    # acc values <= 2n * 2^16 < 2^22: one carry pass normalizes; the product
-    # is < 2^(32n) so the final carry is zero.
-    t, _ = _carry_norm(acc, 2 * n)
-    return t
-
-
-def mont_reduce(spec: FieldSpec, t):
-    """Montgomery reduction of a normalized 2L-limb value -> canonical [L].
-
-    Semantics match the reference's ``mont_reduce`` (fq.rs / bls12-381.cl:558):
-    result = t * 2^(-16L) mod p, canonical (< p).  Requires t < p * 2^(16L).
-    """
-    n = spec.n_limbs
-    assert t.shape[-1] == 2 * n
-    inv16 = int(spec.inv16)
-    q = jnp.asarray(spec.mod_limbs, dtype=jnp.int32)
-    shape = t.shape[:-1]
-    zcol = jnp.zeros(shape + (1,), dtype=jnp.int32)
-    # Extra top limb absorbs the final hi-half carries.
-    t = jnp.concatenate([t, zcol], axis=-1)  # [.., 2n+1]
-
-    def body(i, t):
-        ti = lax.dynamic_slice_in_dim(t, i, 1, axis=-1)
-        m = (ti * inv16) & MASK  # -t_i / q mod 2^16
-        p = m * q  # [.., n] wrapped int32; bits exact
-        lo = p & MASK
-        hi = (p >> LIMB_BITS) & MASK
-        contrib = jnp.concatenate([lo, zcol], axis=-1) + jnp.concatenate(
-            [zcol, hi], axis=-1
-        )
-        cur = lax.dynamic_slice_in_dim(t, i, n + 1, axis=-1)
-        new = cur + contrib
-        # new[0] is now 0 mod 2^16; push its carry one limb up, retire limb i.
-        carry = new[..., 0:1] >> LIMB_BITS
-        new = new.at[..., 1:2].add(carry)
-        return lax.dynamic_update_slice_in_dim(t, new, i, axis=-1)
-
-    t = lax.fori_loop(0, n, body, t)
-    s, _ = _carry_norm(t[..., n:], n + 1)
-    return _cond_sub_modulus(spec, s[..., :n], s[..., n:])
+def mul_small(spec: FieldSpec, a, k: int):
+    """a * k for a small static non-negative integer k (k <= 20)."""
+    assert 0 <= k <= 20
+    if k == 0:
+        return zeros(spec, a.shape[:-1])
+    if k == 1:
+        return a
+    x = _ripple(_fold(spec, _ripple(a * k, 1)), 1)
+    if k > 3:  # value was < 2kB: one fold leaves < ~(k/4+1.1)B; fold again
+        x = _fold(spec, x)
+    return _ripple(x, 2)
 
 
 def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product: (a * b * R^-1) mod p, canonical limbs."""
-    return mont_reduce(spec, _mul_wide(a, b, spec.n_limbs))
+    """Montgomery product: value(a)*value(b)*R^-1 mod p, lazily reduced.
+
+    Full-width REDC (semantics of the reference's mont_reduce, fq.rs /
+    bls12-381.cl:558, re-derived for carry-free vector lanes):
+      t  = a*b                      (variable x variable convolution)
+      m  = (t mod R) * N' mod R     (constant-operand convolution)
+      t' = (t + m*p) / R            (constant-operand convolution + exact
+                                     carry via zero-test of the low half)
+    Output < p*(1 + 2^-11) + tiny — comfortably inside the invariant.
+    """
+    L = spec.n_limbs
+    t = _ripple(_conv(a, b), 3)
+    m = _ripple_mod(_conv_const(t[..., :L], spec.nprime_digits, L), 3)
+    s = _ripple(_conv_const(m, spec.p_digits, 2 * L) + t, 3)
+    # Low half's value is 0 or exactly R (it is ==0 mod R and < R(1+eps)):
+    # the carry into the high half is 1 unless every low limb is zero.
+    carry = jnp.any(s[..., :L] != 0, axis=-1).astype(jnp.int32)
+    return s[..., L:].at[..., 0].add(carry)
 
 
 def mont_square(spec: FieldSpec, a):
@@ -259,20 +311,85 @@ def mont_square(spec: FieldSpec, a):
 
 
 def to_mont(spec: FieldSpec, a):
-    r2 = jnp.asarray(int_to_limbs(spec.r2, spec.n_limbs), dtype=jnp.int32)
+    """Canonical standard-form limbs -> Montgomery form."""
+    r2 = jnp.asarray(spec.r2_digits, dtype=jnp.int32)
     return mont_mul(spec, a, jnp.broadcast_to(r2, a.shape))
 
 
 def from_mont(spec: FieldSpec, a):
-    pad = jnp.zeros_like(a)
-    return mont_reduce(spec, jnp.concatenate([a, pad], axis=-1))
+    """Montgomery form -> canonical standard-form limbs (boundary op)."""
+    one = jnp.asarray(int_to_limbs(1, spec.n_limbs), dtype=jnp.int32)
+    return canon(spec, mont_mul(spec, a, jnp.broadcast_to(one, a.shape)), weak=True)
+
+
+# ---------------------------------------------------------------------------
+# Boundary ops: exact canonicalization, equality, inversion.
+# ---------------------------------------------------------------------------
+
+
+def _carry_exact(x):
+    """Exact serial carry propagation (boundary only): limbs -> canonical
+    digits < 2^12 of the same value.  Assumes no overflow out of the top."""
+    xm = jnp.moveaxis(x, -1, 0)
+
+    def body(carry, v):
+        s = v + carry
+        return s >> LIMB_BITS, s & MASK
+
+    carry0 = jnp.zeros(x.shape[:-1], dtype=jnp.int32)
+    carry, outs = lax.scan(body, carry0, xm)
+    return jnp.moveaxis(outs, 0, -1)
+
+
+def _cond_sub_p(spec: FieldSpec, x):
+    """x - p if x >= p else x, for exact-digit x < 2p (boundary only)."""
+    p = jnp.asarray(spec.p_digits, dtype=jnp.int32)
+    d = x - p
+    dm = jnp.moveaxis(d, -1, 0)
+
+    def body(borrow, v):
+        s = v - borrow
+        return (s >> 31) & 1, s & MASK
+
+    borrow0 = jnp.zeros(x.shape[:-1], dtype=jnp.int32)
+    borrow, outs = lax.scan(body, borrow0, dm)
+    sub_res = jnp.moveaxis(outs, 0, -1)
+    return jnp.where((borrow != 0)[..., None], x, sub_res)
+
+
+def canon(spec: FieldSpec, a, weak: bool = False):
+    """Exact canonical digits (< 2^12, value < p) of the residue of `a`.
+
+    The residue class (and the Montgomery-form-ness) of `a` is preserved:
+    lazy limbs in, canonical digits of the same field element out.
+    With weak=True the input is assumed already < ~1.1p (e.g. fresh out of
+    mont_mul), skipping the range-reduction multiply.
+    """
+    if not weak:
+        # Multiply by R (Montgomery-multiply by R^2... no: by digits of R
+        # mod p) to reduce the value into [0, ~1.01p) without changing the
+        # residue: mont_mul(a, R mod p) = a * R / R = a  (mod p).
+        rdig = jnp.asarray(spec.one_digits, dtype=jnp.int32)
+        a = mont_mul(spec, a, jnp.broadcast_to(rdig, a.shape))
+    a = _carry_exact(a)
+    return _cond_sub_p(spec, a)
+
+
+def is_zero(spec: FieldSpec, a):
+    """Exact zero test of the residue (boundary op)."""
+    return jnp.all(canon(spec, a) == 0, axis=-1)
+
+
+def eq(spec: FieldSpec, a, b):
+    """Exact residue equality (boundary op)."""
+    return jnp.all(canon(spec, a) == canon(spec, b), axis=-1)
 
 
 def pow_const(spec: FieldSpec, a, e: int):
-    """a^e (Montgomery in, Montgomery out) for a static exponent e >= 0.
+    """a^e (Montgomery in/out) for a static exponent e >= 0.
 
-    Square-and-multiply driven by a ``lax.scan`` over the (static) bits of e
-    — compiler-friendly control flow, graph size O(1) in the exponent.
+    Square-and-multiply via lax.scan over the (static) bits of e —
+    graph size O(1) in the exponent.
     """
     if e == 0:
         return one_mont(spec, a.shape[:-1])
@@ -287,8 +404,7 @@ def pow_const(spec: FieldSpec, a, e: int):
         acc = jnp.where(bit != 0, withmul, acc)
         return acc, None
 
-    # First bit is always 1: start from a.
-    out, _ = jax.lax.scan(body, a, bits[1:])
+    out, _ = lax.scan(body, a, bits[1:])  # first bit of e is always 1
     return out
 
 
@@ -301,11 +417,10 @@ def batch_inv(spec: FieldSpec, a):
     """Montgomery-trick batch inversion along the leading axis.
 
     Replaces n Fermat inversions with 1 inversion + 3(n-1) multiplications
-    (prefix/suffix products), a large win for batch affine conversions.
-    Zero entries map to zero.
+    (prefix/suffix products).  Zero entries map to zero.
     """
     zero_mask = is_zero(spec, a)
-    safe = jnp.where(zero_mask[..., None], one_mont(spec, a.shape[:-1]), a)
+    safe = select(zero_mask, one_mont(spec, a.shape[:-1]), a)
 
     def fwd(acc, x):
         nacc = mont_mul(spec, acc, x)
@@ -321,7 +436,12 @@ def batch_inv(spec: FieldSpec, a):
         return nacc, out
 
     _, outs = lax.scan(bwd, total_inv, (safe, prefix), reverse=True)
-    return jnp.where(zero_mask[..., None], jnp.zeros_like(a), outs)
+    return select(zero_mask, jnp.zeros_like(a), outs)
+
+
+# ---------------------------------------------------------------------------
+# Host helpers.
+# ---------------------------------------------------------------------------
 
 
 def batch_to_limbs(spec: FieldSpec, xs, mont: bool = True) -> np.ndarray:
@@ -334,11 +454,12 @@ def batch_to_limbs(spec: FieldSpec, xs, mont: bool = True) -> np.ndarray:
 
 
 def batch_from_limbs(spec: FieldSpec, a, mont: bool = True) -> list:
-    """Host helper: [..., L] limbs -> python ints (out of Montgomery form)."""
+    """Host helper: [..., L] lazy limbs -> python ints (out of Montgomery
+    form if mont=True).  Reduction is done host-side with python ints."""
     a = np.asarray(a)
     flat = a.reshape(-1, spec.n_limbs)
     out = []
     for row in flat:
-        v = limbs_to_int(row)
+        v = limbs_to_int(row) % spec.modulus
         out.append(spec.from_mont_int(v) if mont else v)
     return out

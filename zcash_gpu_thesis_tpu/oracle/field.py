@@ -6,10 +6,10 @@ form with R = 2^384 (Fq) / 2^256 (Fr); all results are canonical (< p).
 
 from __future__ import annotations
 
-from ..constants import Q, R, modinv
+from ..constants import FQ_LIMBS, FR_LIMBS, LIMB_BITS, Q, R, modinv
 
-FQ_R = pow(2, 384, Q)
-FR_R = pow(2, 256, R)
+FQ_R = pow(2, FQ_LIMBS * LIMB_BITS, Q)
+FR_R = pow(2, FR_LIMBS * LIMB_BITS, R)
 
 
 class MontField:
@@ -54,5 +54,5 @@ class MontField:
         return acc
 
 
-FQ_ORACLE = MontField(Q, 384)
-FR_ORACLE = MontField(R, 256)
+FQ_ORACLE = MontField(Q, FQ_LIMBS * LIMB_BITS)
+FR_ORACLE = MontField(R, FR_LIMBS * LIMB_BITS)
