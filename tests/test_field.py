@@ -176,3 +176,18 @@ def test_predicates(rng, name):
     # lazy representations of the same residue compare equal
     lazy = F.add(spec, a, F.const(spec, 0, (4,)))
     assert bool(np.asarray(F.eq(spec, lazy[2], a[2])))
+
+
+@pytest.mark.parametrize("name", SPECS)
+def test_conv_mode_parity(rng, name, monkeypatch):
+    """Unrolled (TPU) and looped (CPU-test) convolution schedules are
+    bit-identical."""
+    spec, _ = SPECS[name]
+    xs = _rand_elems(rng, spec, 8)
+    ys = _rand_elems(rng, spec, 8)
+    a, b = _limbs(spec, xs), _limbs(spec, ys)
+    monkeypatch.setenv("ZKTPU_CONV_MODE", "loop")
+    looped = np.asarray(F.mont_mul(spec, a, b))
+    monkeypatch.setenv("ZKTPU_CONV_MODE", "unroll")
+    unrolled = np.asarray(F.mont_mul(spec, a, b))
+    assert (looped == unrolled).all()

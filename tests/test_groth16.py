@@ -1,0 +1,158 @@
+"""Groth16 proving-system tests.
+
+Tier 3 of the reference's strategy (SURVEY.md §4): a tiny inspectable
+engine (``DummyEngine`` over GF(64513), dummy_engine.rs:20-60) makes CRS
+contents and proof algebra checkable against independently computed QAP
+values (the ``test_xordemo`` idea, groth16/tests/mod.rs:98), then the real
+BLS12-381 engine proves and verifies end-to-end through the device NTT/MSM
+kernels and the host pairing.
+"""
+
+import random
+
+import pytest
+
+from zcash_gpu_thesis_tpu.groth16 import (BlsEngine, Circuit, DummyEngine,
+                                          LinearCombination, Variable,
+                                          create_proof,
+                                          generate_parameters,
+                                          prepare_verifying_key, verify_proof)
+from zcash_gpu_thesis_tpu.groth16.r1cs import ONE
+
+
+def _lc(*terms):
+    out = LinearCombination()
+    for t in terms:
+        out = out + t
+    return out
+
+
+class XORDemo(Circuit):
+    """bellman's XORDemo (groth16/tests/mod.rs:26-96): c = a XOR b."""
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+
+    def synthesize(self, cs):
+        a = cs.alloc("a", lambda: int(self.a))
+        cs.enforce(
+            "a_boolean_constraint",
+            _lc((1, ONE), (-1, a)), _lc(a), LinearCombination.zero(),
+        )
+        b = cs.alloc("b", lambda: int(self.b))
+        cs.enforce(
+            "b_boolean_constraint",
+            _lc((1, ONE), (-1, b)), _lc(b), LinearCombination.zero(),
+        )
+        c = cs.alloc_input("c", lambda: int(self.a) ^ int(self.b))
+        # (2a) * b = a + b - c
+        cs.enforce(
+            "xor_constraint",
+            _lc((2, a)), _lc(b), _lc(a, b, (-1, c)),
+        )
+
+
+def _lagrange_at(p, m, omega, tau, j):
+    """L_j(tau) computed directly (independent of the NTT path)."""
+    num = (pow(tau, m, p) - 1) % p
+    den = m * (tau - pow(omega, j, p)) % p
+    return num * pow(den, p - 2, p) % p * pow(omega, j, p) % p
+
+
+def test_dummy_engine_field():
+    e = DummyEngine()
+    p = e.r
+    assert pow(5, p - 1, p) == 1
+    # 5 generates: order does not divide (p-1)/q for prime factors q
+    for q in (2, 3, 7):
+        assert pow(5, (p - 1) // q, p) != 1
+    assert pow(e.root_of_unity, 1 << 10, p) == 1
+    assert pow(e.root_of_unity, 1 << 9, p) == p - 1
+
+
+def test_xordemo_dummy_crs_and_proof():
+    """The test_xordemo re-design: fixed toxic waste, CRS checked against
+    independently computed QAP values, proof verified with fixed (r, s)."""
+    e = DummyEngine()
+    p = e.r
+    alpha, beta, gamma, delta, tau = 48577, 22580, 53332, 5481, 3673
+    params = generate_parameters(
+        e, XORDemo(True, False), alpha, beta, gamma, delta, tau
+    )
+
+    # 3 circuit constraints + 2 inputs (one + c) = 5 -> domain size 8
+    m = 8
+    assert len(params.h) == m - 1
+    assert params.num_inputs == 2
+    assert params.num_aux == 2
+
+    # h bases: tau^i * (tau^m - 1) / delta
+    z_tau = (pow(tau, m, p) - 1) % p
+    dinv = pow(delta, p - 2, p)
+    for i, hv in enumerate(params.h):
+        assert (hv or 0) == pow(tau, i, p) * z_tau % p * dinv % p, i
+
+    # u_i(tau) for the "one" input: A-side rows are constraints 1-a terms
+    # and the input-consistency constraint; recompute via direct Lagrange.
+    omega = pow(e.root_of_unity, 1 << (10 - 3), p)
+    L = [_lagrange_at(p, m, omega, tau, j) for j in range(m)]
+    # variable layout: inputs [one, c], aux [a, b]
+    # A polys: one: constraints 0,1 coeff 1 (from 1 - a/b), input-cons 3
+    #          c: input-cons 4;  a: c0 coeff -1, c2 coeff 2;  b: c1 -1
+    exp_a_one = (L[0] + L[1] + L[3]) % p
+    exp_a_c = L[4]
+    exp_a_a = (-L[0] + 2 * L[2]) % p
+    exp_a_b = (-L[1]) % p
+    assert [x or 0 for x in params.a] == [exp_a_one, exp_a_c, exp_a_a, exp_a_b]
+
+    # B polys: b appears in constraint 2 (and via boolean constraints)
+    exp_b_one = 0
+    exp_b_a = L[0] % p
+    exp_b_b = (L[1] + L[2]) % p
+    assert [x or 0 for x in params.b_g1] == [exp_b_one, 0, exp_b_a, exp_b_b]
+    assert [x or 0 for x in params.b_g2] == [exp_b_one, 0, exp_b_a, exp_b_b]
+
+    pvk = prepare_verifying_key(e, params.vk)
+    proof = create_proof(e, XORDemo(True, False), params, r=27134, s=17146)
+    assert verify_proof(e, pvk, proof, [1])
+    assert not verify_proof(e, pvk, proof, [0])
+    bad = type(proof)(a=proof.a, b=proof.b, c=e.g1_add(proof.c, 1))
+    assert not verify_proof(e, pvk, bad, [1])
+
+
+def test_xordemo_dummy_all_witnesses():
+    e = DummyEngine()
+    rng = random.Random(42)
+    params = generate_parameters(
+        e, XORDemo(False, False), 10, 20, 30, 40, 50
+    )
+    pvk = prepare_verifying_key(e, params.vk)
+    for a in (False, True):
+        for b in (False, True):
+            proof = create_proof(
+                e, XORDemo(a, b), params,
+                r=rng.randrange(e.r), s=rng.randrange(e.r),
+            )
+            assert verify_proof(e, pvk, proof, [int(a ^ b)])
+            assert not verify_proof(e, pvk, proof, [1 - int(a ^ b)])
+
+
+@pytest.mark.slow
+def test_xordemo_bls_end_to_end():
+    """Full-stack: CRS + proof through the TPU NTT/MSM kernels, verified
+    with the exact host pairing (mimc.rs-style integration, smaller)."""
+    e = BlsEngine()
+    rng = random.Random(7)
+    params = generate_parameters(
+        e, XORDemo(True, True),
+        alpha=rng.randrange(1, e.r), beta=rng.randrange(1, e.r),
+        gamma=rng.randrange(1, e.r), delta=rng.randrange(1, e.r),
+        tau=rng.randrange(1, e.r),
+    )
+    pvk = prepare_verifying_key(e, params.vk)
+    proof = create_proof(
+        e, XORDemo(True, True), params,
+        r=rng.randrange(e.r), s=rng.randrange(e.r),
+    )
+    assert verify_proof(e, pvk, proof, [0])
+    assert not verify_proof(e, pvk, proof, [1])

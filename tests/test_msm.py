@@ -1,0 +1,102 @@
+"""MSM differential tests vs the python-int oracle.
+
+Mirrors the reference's MSM testing (`multiexp.rs:337-376` naive-vs-
+Pippenger and the all-GPU-variants-agree check `multiexp.rs:490-493`):
+random points/scalars, edge scalars (0, 1, r-1), duplicate points (bucket
+doubling — must be handled by the complete formulas), and padding.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from zcash_gpu_thesis_tpu.constants import R
+from zcash_gpu_thesis_tpu.ops import curve as C
+from zcash_gpu_thesis_tpu.ops import msm as M
+from zcash_gpu_thesis_tpu.oracle import curve as O
+
+
+@pytest.fixture(scope="module")
+def g1pts():
+    rng = random.Random(0xBEEF)
+    return O.random_g1_points(rng, 12)
+
+
+def _run(group, to_ints, pts, scalars, **kw):
+    out = M.msm_from_ints(group, pts, scalars, **kw)
+    return to_ints(group.to_affine(out))[0]
+
+
+def test_g1_msm_random(g1pts):
+    rng = random.Random(1)
+    scalars = [rng.randrange(R) for _ in g1pts]
+    want = O.g1_msm(g1pts, scalars)
+    got = _run(C.G1, C.g1_affine_to_ints, g1pts, scalars)
+    assert got == want
+
+
+def test_g1_msm_edge_scalars(g1pts):
+    scalars = [0, 1, R - 1, 2, 0, 1, 15, 16, 255, 256, 0, R - 2]
+    want = O.g1_msm(g1pts, scalars)
+    got = _run(C.G1, C.g1_affine_to_ints, g1pts, scalars)
+    assert got == want
+
+
+def test_g1_msm_duplicates_and_padding(g1pts):
+    # duplicate points with equal digits force bucket doubling; n=5 is not
+    # a multiple of chunks*k_inner, so padding with infinity kicks in
+    pts = [g1pts[0], g1pts[0], g1pts[1], g1pts[1], g1pts[2]]
+    scalars = [7, 7, 3, 5, R - 1]
+    want = O.g1_msm(pts, scalars)
+    got = _run(C.G1, C.g1_affine_to_ints, pts, scalars, chunks=2, k_inner=2)
+    assert got == want
+
+
+def test_g1_msm_zero_result(g1pts):
+    pts = [g1pts[0], g1pts[0]]
+    scalars = [5, R - 5]
+    assert O.g1_msm(pts, scalars) is None
+    got = _run(C.G1, C.g1_affine_to_ints, pts, scalars, chunks=1, k_inner=1)
+    assert got is None
+
+
+@pytest.mark.parametrize("c", [1, 4, 8, 12])
+def test_g1_msm_window_widths(g1pts, c):
+    rng = random.Random(c)
+    scalars = [rng.randrange(R) for _ in g1pts]
+    want = O.g1_msm(g1pts, scalars)
+    got = _run(C.G1, C.g1_affine_to_ints, g1pts, scalars, c=c, chunks=4,
+               k_inner=2)
+    assert got == want
+
+
+def test_g2_msm_random():
+    rng = random.Random(2)
+    pts = O.random_g2_points(rng, 6)
+    scalars = [rng.randrange(R) for _ in pts]
+    scalars[0] = 0
+    scalars[1] = 1
+    want = O.g2_msm(pts, scalars)
+    got = _run(C.G2, C.g2_affine_to_ints, pts, scalars, chunks=2, k_inner=2)
+    assert got == want
+
+
+def test_digit_decomposition():
+    rng = random.Random(3)
+    xs = [rng.randrange(R) for _ in range(8)] + [0, 1, R - 1]
+    for c in (1, 3, 4, 8, 12):
+        d = M.digits_from_ints(xs, c)
+        for i, x in enumerate(xs):
+            v = sum(int(d[i, w]) << (c * w) for w in range(d.shape[1]))
+            assert v == x, (c, i)
+    # device-side decomposition from canonical limbs agrees
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.ops import field as F
+
+    limbs = jnp.asarray(F.batch_to_limbs(F.FR, xs, mont=False))
+    for c in (1, 4, 11):
+        dev = np.asarray(M.digits_from_canonical(limbs, c))
+        host = M.digits_from_ints(xs, c)
+        assert (dev == host).all(), c

@@ -1,0 +1,56 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no multi-device path (one OpenCL queue,
+multiexp.rs:2839); these tests cover the TPU-native scaling layer —
+point-sharded MSM and the four-step all_to_all NTT — against the
+single-device kernels (SURVEY.md §4 "multi-node testing" note).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zcash_gpu_thesis_tpu.constants import R
+from zcash_gpu_thesis_tpu.ops import curve as cv
+from zcash_gpu_thesis_tpu.ops import field as F
+from zcash_gpu_thesis_tpu.ops import msm as M
+from zcash_gpu_thesis_tpu.ops.curve import G1
+from zcash_gpu_thesis_tpu.ops.ntt import Domain
+from zcash_gpu_thesis_tpu.oracle import curve as O
+from zcash_gpu_thesis_tpu.parallel import mesh as pm
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return pm.default_mesh(8)
+
+
+def test_sharded_msm_matches_single(mesh8):
+    rng = random.Random(21)
+    base = O.random_g1_points(rng, 4)
+    n = 64
+    pts = [base[i % 4] for i in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    aff = cv.g1_affine_from_ints(pts)
+    digits = jnp.asarray(M.digits_from_ints(scalars, 4))
+
+    got = pm.sharded_msm(G1, aff, digits, mesh8, c=4, chunks=2, k_inner=2)
+    want = M.msm(G1, aff, digits, 4, 2, 2)
+    assert np.asarray(G1.eq(got, want)).all()
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_sharded_ntt_matches_single(mesh8, inverse):
+    rng = random.Random(22)
+    n = 256  # n1 = 16, n2 = 16, both divisible by 8
+    xs = [rng.randrange(R) for _ in range(n)]
+    a = jnp.asarray(F.batch_to_limbs(F.FR, xs))
+    got = pm.sharded_ntt(n, a, mesh8, inverse=inverse)
+    d = Domain(n)
+    want = d.ifft(a) if inverse else d.fft(a)
+    assert (np.asarray(F.canon(F.FR, got)) == np.asarray(F.canon(F.FR, want))).all()

@@ -1,0 +1,296 @@
+"""Proving-system engines: the pluggable crypto backend for Groth16.
+
+Mirrors the reference's ``Engine`` trait split (``pairing/src/lib.rs:34``):
+the Groth16 generator/prover/verifier are generic over an engine that
+provides the scalar field, G1/G2 groups, MSM, fixed-base exponentiation, an
+FFT domain and a pairing.
+
+Two engines:
+
+  * ``BlsEngine`` — the production BLS12-381 engine.  Heavy lifting (MSM,
+    NTT, batched fixed-base) runs on TPU through ``ops.*``; single-point
+    group algebra and the verifier pairing run host-side as python ints
+    (``oracle.curve`` / ``oracle.pairing``), exactly the reference's split
+    where the pairing never left the CPU.
+  * ``DummyEngine`` — GF(64513) mock where G1 = G2 = GT = the scalar field
+    and the pairing is multiplication, the re-design of
+    ``groth16/tests/dummy_engine.rs:20-60``: it makes CRS contents and
+    proof algebra directly inspectable by tests.
+
+Points at this interface are python ints: G1 affine = (x, y) or None;
+G2 affine = ((x0,x1), (y0,y1)) or None; Dummy group elements are ints.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import R as FR_MOD
+from ..constants import modinv
+from ..oracle import curve as ocurve
+from ..oracle import pairing as opairing
+
+
+class _BlsDomain:
+    """Python-int facade over the device NTT domain (ops.ntt.Domain)."""
+
+    def __init__(self, n: int):
+        from ..ops.ntt import Domain
+
+        self.d = Domain(n)
+        self.n = n
+
+    def ifft(self, xs):
+        return self.d.to_ints(self.d.ifft(self.d.from_ints(xs)))
+
+    def coset_fft(self, xs):
+        return self.d.to_ints(self.d.coset_fft(self.d.from_ints(xs)))
+
+    def icoset_fft(self, xs):
+        return self.d.to_ints(self.d.icoset_fft(self.d.from_ints(xs)))
+
+    def h_poly(self, a_vals, b_vals, c_vals):
+        """The full H(x) block of create_proof (prover.rs:256-283):
+        3x(ifft + coset_fft), a*b - c, divide by Z on coset, icoset_fft,
+        truncate to n-1 coefficients.  Stays on device throughout."""
+        from ..ops import field as F
+        from ..ops.ntt import FR
+
+        d = self.d
+        a = d.coset_fft(d.ifft(d.from_ints(a_vals)))
+        b = d.coset_fft(d.ifft(d.from_ints(b_vals)))
+        c = d.coset_fft(d.ifft(d.from_ints(c_vals)))
+        ab = F.mont_mul(FR, a, b)
+        ab = F.sub(FR, ab, c)
+        ab = d.divide_by_z_on_coset(ab)
+        h = d.icoset_fft(ab)
+        return d.to_ints(h)[: self.n - 1]
+
+
+class BlsEngine:
+    name = "bls12_381"
+    r = FR_MOD
+
+    # -- domains ------------------------------------------------------------
+
+    def domain(self, n: int) -> _BlsDomain:
+        return _BlsDomain(n)
+
+    # -- group algebra (host, python ints) ----------------------------------
+
+    def g1_add(self, a, b):
+        return ocurve.g1_add(a, b)
+
+    def g1_mul(self, a, k):
+        return ocurve.g1_mul(a, k % FR_MOD)
+
+    def g1_neg(self, a):
+        return None if a is None else (a[0], (-a[1]) % ocurve.Q)
+
+    def g2_add(self, a, b):
+        return ocurve.g2_add(a, b)
+
+    def g2_mul(self, a, k):
+        return ocurve.g2_mul(a, k % FR_MOD)
+
+    def g2_neg(self, a):
+        if a is None:
+            return None
+        return (a[0], tuple((-c) % ocurve.Q for c in a[1]))
+
+    g1_gen = ocurve.G1_GEN
+    g2_gen = ocurve.G2_GEN
+
+    # -- bulk device ops ----------------------------------------------------
+
+    def msm_g1(self, bases, scalars):
+        from ..ops import curve as cv
+        from ..ops import msm as M
+
+        out = M.msm_from_ints(cv.G1, bases, scalars)
+        return cv.g1_affine_to_ints(cv.G1.to_affine(out))[0]
+
+    def msm_g2(self, bases, scalars):
+        from ..ops import curve as cv
+        from ..ops import msm as M
+
+        out = M.msm_from_ints(cv.G2, bases, scalars)
+        return cv.g2_affine_to_ints(cv.G2.to_affine(out))[0]
+
+    def _fixed_base(self, group, from_ints, to_ints, gen, scalars):
+        import numpy as np
+
+        from ..ops import curve as cv
+
+        n = len(scalars)
+        nbits = 255
+        bits = np.zeros((nbits, n), dtype=np.int32)
+        for i, k in enumerate(scalars):
+            k = int(k) % FR_MOD
+            for b in range(nbits):
+                bits[nbits - 1 - b, i] = (k >> b) & 1
+        base = from_ints([gen])
+
+        def squeeze(leaf):
+            return leaf[0]
+
+        import jax
+
+        base0 = jax.tree.map(squeeze, base)
+
+        @jax.jit
+        def run(bits):
+            def body(acc, bitrow):
+                acc = group.double(acc)
+                withadd = group.add_mixed(acc, base0)
+                acc = group.select(bitrow != 0, withadd, acc)
+                return acc, None
+
+            acc, _ = jax.lax.scan(body, group.identity((n,)), bits)
+            return group.to_affine(acc)
+
+        return to_ints(run(jnp.asarray(bits)))
+
+    def fixed_base_g1(self, scalars):
+        """[k_i * G1] batched on device (generator's wNAF-table analogue,
+        pairing/src/wnaf.rs:75 — here a batched double-and-add scan)."""
+        from ..ops import curve as cv
+
+        return self._fixed_base(
+            cv.G1, cv.g1_affine_from_ints, cv.g1_affine_to_ints,
+            self.g1_gen, scalars
+        )
+
+    def fixed_base_g2(self, scalars):
+        from ..ops import curve as cv
+
+        return self._fixed_base(
+            cv.G2, cv.g2_affine_from_ints, cv.g2_affine_to_ints,
+            self.g2_gen, scalars
+        )
+
+    # -- pairing (host) -----------------------------------------------------
+
+    def pairing(self, p, q):
+        return opairing.pairing(p, q)
+
+    def pairing_product(self, pairs):
+        return opairing.pairing_product(pairs)
+
+    def gt_one(self):
+        return opairing.Fq12.one()
+
+    def gt_mul(self, a, b):
+        return a * b
+
+    def gt_eq(self, a, b):
+        return a == b
+
+
+class _DummyDomain:
+    """Naive O(n^2) DFT over GF(64513) — the dummy engine's FFT."""
+
+    def __init__(self, n: int, p: int, root: int, two_adicity: int):
+        assert n & (n - 1) == 0
+        log_n = n.bit_length() - 1
+        assert log_n <= two_adicity
+        self.n, self.p = n, p
+        self.omega = pow(root, 1 << (two_adicity - log_n), p)
+        self.gen = 5  # multiplicative generator mod 64513 (checked below)
+
+    def _dft(self, xs, omega):
+        p, n = self.p, self.n
+        return [
+            sum(x * pow(omega, i * j, p) for j, x in enumerate(xs)) % p
+            for i in range(n)
+        ]
+
+    def _pad(self, xs):
+        return list(xs) + [0] * (self.n - len(xs))
+
+    def ifft(self, xs):
+        ninv = modinv(self.n, self.p)
+        out = self._dft(self._pad(xs), modinv(self.omega, self.p))
+        return [x * ninv % self.p for x in out]
+
+    def coset_fft(self, xs):
+        xs = self._pad(xs)
+        shifted = [x * pow(self.gen, i, self.p) % self.p for i, x in enumerate(xs)]
+        return self._dft(shifted, self.omega)
+
+    def icoset_fft(self, xs):
+        gi = modinv(self.gen, self.p)
+        out = self.ifft(xs)
+        return [x * pow(gi, i, self.p) % self.p for i, x in enumerate(out)]
+
+    def h_poly(self, a_vals, b_vals, c_vals):
+        p = self.p
+        a = self.coset_fft(self.ifft(a_vals))
+        b = self.coset_fft(self.ifft(b_vals))
+        c = self.coset_fft(self.ifft(c_vals))
+        zinv = modinv((pow(self.gen, self.n, p) - 1) % p, p)
+        ab = [(x * y - z) * zinv % p for x, y, z in zip(a, b, c)]
+        return self.icoset_fft(ab)[: self.n - 1]
+
+
+class DummyEngine:
+    """GF(64513) mock engine (dummy_engine.rs): groups are the scalar field
+    written additively in the exponent; pairing(a, b) = a*b."""
+
+    name = "dummy"
+    r = 64513
+    two_adicity = 10
+    # 5 generates GF(64513)^* (64512 = 2^10 * 3^2 * 7; checked in tests)
+    root_of_unity = pow(5, 63, 64513)
+
+    g1_gen = 1
+    g2_gen = 1
+
+    def domain(self, n: int):
+        return _DummyDomain(n, self.r, self.root_of_unity, self.two_adicity)
+
+    def g1_add(self, a, b):
+        return ((a or 0) + (b or 0)) % self.r or None
+
+    g2_add = g1_add
+
+    def g1_mul(self, a, k):
+        return ((a or 0) * k) % self.r or None
+
+    g2_mul = g1_mul
+
+    def g1_neg(self, a):
+        return None if a is None else (-a) % self.r or None
+
+    g2_neg = g1_neg
+
+    def msm_g1(self, bases, scalars):
+        acc = 0
+        for b, s in zip(bases, scalars):
+            acc = (acc + (b or 0) * s) % self.r
+        return acc or None
+
+    msm_g2 = msm_g1
+
+    def fixed_base_g1(self, scalars):
+        return [s % self.r or None for s in scalars]
+
+    fixed_base_g2 = fixed_base_g1
+
+    def pairing(self, p, q):
+        return ((p or 0) * (q or 0)) % self.r
+
+    def pairing_product(self, pairs):
+        acc = 0
+        for p, q in pairs:
+            acc = (acc + (p or 0) * (q or 0)) % self.r
+        return acc
+
+    def gt_one(self):
+        return 0  # additive exponent representation
+
+    def gt_mul(self, a, b):
+        return (a + b) % self.r
+
+    def gt_eq(self, a, b):
+        return a == b

@@ -1,0 +1,120 @@
+"""Groth16 prover.
+
+Re-design of ``bellman/src/groth16/prover.rs``: witness synthesis into
+per-constraint evaluation vectors (``ProvingAssignment``, prover.rs:84-190),
+the H(x) computation (3x iFFT + coset FFT, pointwise a*b - c, divide by Z
+on the coset, prover.rs:256-283), then the MSMs over the CRS bases
+(prover.rs:289-318) and the r/s blinding algebra (prover.rs:326-354).
+
+On the BLS engine the NTTs and MSMs run on TPU; synthesis and the final
+single-point algebra are host-side — the same CPU/accelerator split as the
+reference.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+from .params import Parameters, Proof
+from .r1cs import ConstraintSystem, LinearCombination, SynthesisError, Variable
+
+
+class ProvingAssignment(ConstraintSystem):
+    """Witness-side synthesis (prover.rs:84-190): evaluates every
+    constraint's three linear combinations at the assignment."""
+
+    def __init__(self, modulus: int):
+        super().__init__()
+        self.modulus = modulus
+        self.input_assignment = []
+        self.aux_assignment = []
+        self.a, self.b, self.c = [], [], []
+        self.alloc_input("one", lambda: 1)
+
+    def alloc(self, name, f):
+        v = f()
+        if v is None:
+            raise SynthesisError(f"missing assignment: {self.path_name(name)}")
+        self.aux_assignment.append(int(v) % self.modulus)
+        return Variable("aux", len(self.aux_assignment) - 1)
+
+    def alloc_input(self, name, f):
+        v = f()
+        if v is None:
+            raise SynthesisError(f"missing input: {self.path_name(name)}")
+        self.input_assignment.append(int(v) % self.modulus)
+        return Variable("input", len(self.input_assignment) - 1)
+
+    def enforce(self, name, a, b, c):
+        ev = lambda lc: lc.eval(
+            self.input_assignment, self.aux_assignment, self.modulus
+        )
+        self.a.append(ev(a))
+        self.b.append(ev(b))
+        self.c.append(ev(c))
+
+
+def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
+    """create_proof (prover.rs:205-364) with explicit blinding r, s."""
+    p = engine.r
+    prover = ProvingAssignment(p)
+    circuit.synthesize(prover)
+
+    # Input consistency constraints (prover.rs:228-234).
+    for i, v in enumerate(prover.input_assignment):
+        prover.a.append(v)
+        prover.b.append(0)
+        prover.c.append(0)
+
+    vk = params.vk
+
+    # Subversion-CRS guard (prover.rs:320-324).
+    if vk.delta_g1 is None or vk.delta_g2 is None:
+        raise SynthesisError("unexpected identity delta")
+
+    # H(x) (prover.rs:256-283).
+    m = 1
+    while m < len(prover.a):
+        m *= 2
+    domain = engine.domain(m)
+    h_coeffs = domain.h_poly(prover.a, prover.b, prover.c)
+
+    # The 8 MSMs (prover.rs:289-318) — dense bases, zero scalars skipped
+    # by the MSM's digit-0 path instead of DensityTracker compaction.
+    n_in = params.num_inputs
+    assignment = prover.input_assignment + prover.aux_assignment
+    h = engine.msm_g1(params.h, h_coeffs)
+    l = engine.msm_g1(params.l, prover.aux_assignment)
+    a_all = engine.msm_g1(params.a, assignment)
+    b1_all = engine.msm_g1(params.b_g1, assignment)
+    b2_all = engine.msm_g2(params.b_g2, assignment)
+
+    # Blinding algebra (prover.rs:326-354).
+    g_a = engine.g1_add(
+        engine.g1_add(vk.alpha_g1, engine.g1_mul(vk.delta_g1, r)), a_all
+    )
+    g_b = engine.g2_add(
+        engine.g2_add(vk.beta_g2, engine.g2_mul(vk.delta_g2, s)), b2_all
+    )
+    g_b1 = engine.g1_add(
+        engine.g1_add(vk.beta_g1, engine.g1_mul(vk.delta_g1, s)), b1_all
+    )
+    g_c = engine.g1_add(
+        engine.g1_add(
+            engine.g1_add(engine.g1_mul(g_a, s), engine.g1_mul(g_b1, r)),
+            engine.g1_mul(vk.delta_g1, (-r * s) % p),
+        ),
+        engine.g1_add(h, l),
+    )
+    return Proof(a=g_a, b=g_b, c=g_c)
+
+
+def create_random_proof(engine, circuit, params: Parameters,
+                        rng: Optional[random.Random] = None) -> Proof:
+    """create_random_proof (prover.rs:192-203)."""
+    rng = rng or random.Random()
+    return create_proof(
+        engine, circuit, params,
+        r=rng.randrange(engine.r), s=rng.randrange(engine.r),
+    )

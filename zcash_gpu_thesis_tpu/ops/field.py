@@ -33,6 +33,7 @@ All functions are pure and jit-/vmap-/shard_map-compatible.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -177,6 +178,36 @@ def _fold(spec: FieldSpec, x):
     return low + top[..., None] * delta
 
 
+def _conv_unrolled(a, b, n):
+    acc = jnp.zeros(a.shape[:-1] + (2 * n,), dtype=jnp.int32)
+    for i in range(n):
+        acc = acc.at[..., i : i + n].add(a[..., i : i + 1] * b)
+    return acc
+
+
+def _conv_looped(a, b, n):
+    acc = jnp.zeros(a.shape[:-1] + (2 * n,), dtype=jnp.int32)
+
+    def body(i, acc):
+        ai = lax.dynamic_slice_in_dim(a, i, 1, axis=-1)
+        cur = lax.dynamic_slice_in_dim(acc, i, n, axis=-1)
+        return lax.dynamic_update_slice_in_dim(acc, cur + ai * b, i, axis=-1)
+
+    return lax.fori_loop(0, n, body, acc)
+
+
+def _unroll() -> bool:
+    """Convolution scheduling: fully unrolled static slices fuse into one
+    kernel on TPU (essential — a fori_loop would round-trip the accumulator
+    through HBM 2L times per multiply); compact fori_loop graphs keep XLA
+    *compile* times sane on the CPU test backend.  Both orderings perform
+    bit-identical arithmetic."""
+    mode = os.environ.get("ZKTPU_CONV_MODE")
+    if mode:
+        return mode == "unroll"
+    return jax.default_backend() != "cpu"
+
+
 def _conv(a, b):
     """Schoolbook convolution of two [.., L] limb arrays -> raw [.., 2L].
 
@@ -187,24 +218,36 @@ def _conv(a, b):
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, shape + (n,))
     b = jnp.broadcast_to(b, shape + (n,))
-    acc = jnp.zeros(shape + (2 * n,), dtype=jnp.int32)
-    for i in range(n):
-        acc = acc.at[..., i : i + n].add(a[..., i : i + 1] * b)
-    return acc
+    if _unroll():
+        return _conv_unrolled(a, b, n)
+    return _conv_looped(a, b, n)
 
 
 def _conv_const(a, digits, out_len: int):
     """Convolution of [.., n] limbs with a small host-constant digit vector,
     truncated to out_len output limbs (drops limbs >= out_len)."""
     n = a.shape[-1]
-    acc = jnp.zeros(a.shape[:-1] + (out_len,), dtype=jnp.int32)
-    for j, d in enumerate(digits):
-        d = int(d)
-        if d == 0 or j >= out_len:
-            continue
-        width = min(n, out_len - j)
-        acc = acc.at[..., j : j + width].add(d * a[..., :width])
-    return acc
+    if _unroll():
+        acc = jnp.zeros(a.shape[:-1] + (out_len,), dtype=jnp.int32)
+        for j, d in enumerate(digits):
+            d = int(d)
+            if d == 0 or j >= out_len:
+                continue
+            width = min(n, out_len - j)
+            acc = acc.at[..., j : j + width].add(d * a[..., :width])
+        return acc
+    # looped form: pad, accumulate at dynamic offsets, truncate
+    dig = jnp.asarray(np.asarray(digits, dtype=np.int32))
+    nd = dig.shape[0]
+    acc = jnp.zeros(a.shape[:-1] + (out_len + n,), dtype=jnp.int32)
+
+    def body(j, acc):
+        d = lax.dynamic_slice_in_dim(dig, j, 1)
+        cur = lax.dynamic_slice_in_dim(acc, j, n, axis=-1)
+        return lax.dynamic_update_slice_in_dim(acc, cur + d * a, j, axis=-1)
+
+    acc = lax.fori_loop(0, min(nd, out_len), body, acc)
+    return acc[..., :out_len]
 
 
 # ---------------------------------------------------------------------------

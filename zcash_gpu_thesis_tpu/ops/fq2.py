@@ -1,11 +1,14 @@
-"""Vectorized Fq2 arithmetic (Fq[u]/(u^2+1)) on 16-bit limb arrays.
+"""Vectorized Fq2 arithmetic (Fq[u]/(u^2+1)) on lazy 12-bit limb arrays.
 
 TPU analogue of `pairing/src/bls12_381/fq2.rs`.  An Fq2 element is a pair of
-Fq limb arrays ``(c0, c1)``, each ``[..., 24] int32``.  Multiplication uses
-the 3-multiplication Karatsuba form (same algebra as fq2.rs mul_assign).
+Fq limb arrays ``(c0, c1)``, each ``[..., 33] int32`` in the lazy-reduced
+representation of ``ops.field``.  Multiplication uses the 3-multiplication
+Karatsuba form (same algebra as fq2.rs mul_assign).
 """
 
 from __future__ import annotations
+
+import jax.numpy as jnp
 
 from . import field as F
 
@@ -20,15 +23,17 @@ def one_mont(shape=()):
     return (F.one_mont(FQ, shape), F.zeros(FQ, shape))
 
 
-def is_zero(a):
-    import jax.numpy as jnp
+def const(c0: int, c1: int, shape=(), mont: bool = True):
+    """Host (c0, c1) integers -> Fq2 limb constant (Montgomery by default)."""
+    f = F.mont_const if mont else F.const
+    return (f(FQ, c0, shape), f(FQ, c1, shape))
 
+
+def is_zero(a):
     return jnp.logical_and(F.is_zero(FQ, a[0]), F.is_zero(FQ, a[1]))
 
 
 def eq(a, b):
-    import jax.numpy as jnp
-
     return jnp.logical_and(F.eq(FQ, a[0], b[0]), F.eq(FQ, a[1], b[1]))
 
 
@@ -46,6 +51,10 @@ def neg(a):
 
 def double(a):
     return (F.double(FQ, a[0]), F.double(FQ, a[1]))
+
+
+def mul_small(a, k: int):
+    return (F.mul_small(FQ, a[0], k), F.mul_small(FQ, a[1], k))
 
 
 def mul(a, b):
@@ -71,9 +80,28 @@ def square(a):
     return (c0, c1)
 
 
+def mul_by_nonresidue(a):
+    """Multiply by (u + 1), the quadratic non-residue used to build Fq6
+    (fq2.rs mul_by_nonresidue): (a0 + a1 u)(1 + u) = (a0 - a1) + (a0 + a1)u.
+    """
+    return (F.sub(FQ, a[0], a[1]), F.add(FQ, a[0], a[1]))
+
+
+def mul_small_nonresidue(a, k: int):
+    """k * (u+1) * a for small static k — e.g. b3 = 12(u+1) on the G2 twist."""
+    return (
+        F.mul_small(FQ, F.sub(FQ, a[0], a[1]), k),
+        F.mul_small(FQ, F.add(FQ, a[0], a[1]), k),
+    )
+
+
 def mul_scalar_fq(a, k):
     """Multiply both components by an Fq limb element k (Montgomery)."""
     return (F.mont_mul(FQ, a[0], k), F.mont_mul(FQ, a[1], k))
+
+
+def conjugate(a):
+    return (a[0], F.neg(FQ, a[1]))
 
 
 def inv(a):
@@ -86,7 +114,5 @@ def inv(a):
 
 def select(mask, a, b):
     """Elementwise select: mask broadcast over limb axis."""
-    import jax.numpy as jnp
-
     m = mask[..., None]
     return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]))

@@ -1,0 +1,175 @@
+"""Multi-chip execution: mesh-sharded MSM and distributed NTT.
+
+The reference is strictly single-device (one OpenCL queue,
+``multiexp.rs:2839``); its only scaling axes are intra-device work-groups
+and the thread-pool FFT split (``domain.rs:317-374``).  This module is the
+TPU-native scaling layer those map to (SURVEY.md §2.3-2.4):
+
+  * **MSM**: points are sharded across the mesh's data axis; every device
+    runs the shard-local Pippenger bucket accumulation (ops.msm.window_sums
+    — the analogue of a GPU work-group's private buckets) and the [W]
+    window partials are combined across chips.  Window partials are tiny
+    (W x 3 coords x 33 limbs), so the collective cost is negligible next
+    to the bucket work, exactly like the reference's groups->host
+    reduction (multiexp.rs:2946-2986).
+  * **NTT**: the four-step decomposition n = n1*n2 — local column FFTs,
+    twiddle scaling, a cross-chip transpose (all_to_all over ICI), local
+    row FFTs.  This is the reference's parallel_fft decomposition
+    (2^k sub-FFTs + twiddle recombination) with the thread pool replaced
+    by the mesh and the shared-memory shuffle replaced by all_to_all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import R, modinv
+from ..ops import field as F
+from ..ops import msm as M
+from ..ops import ntt as N
+from ..ops.curve import Group
+
+FR = F.FR
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Sharded MSM.
+# ---------------------------------------------------------------------------
+
+
+def sharded_msm(group: Group, points, digits, mesh: Mesh, c: int = 4,
+                chunks: int = 16, k_inner: int = 8, axis: str = "data"):
+    """MSM with the point axis sharded over `mesh`.
+
+    Each device computes its shard's [W] window partials; the partials are
+    all-gathered (W x point-size — bytes, not megabytes) and folded with
+    the complete-add tree, then the usual doubling-ladder combine runs
+    replicated.
+    """
+
+    def local(pts, digs):
+        wsums = M.window_sums(group, pts, digs, c, chunks, k_inner)
+        # add a leading axis of size 1 per device: out spec concatenates
+        return jax.tree.map(lambda l: l[None], wsums)
+
+    pspec = jax.tree.map(lambda _: P(axis), points)
+    out_spec = jax.tree.map(lambda _: P(axis), points)  # structure differs
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), points), P(axis)),
+        out_specs=jax.tree.map(lambda _: P(axis), points),
+        check_rep=False,
+    )
+    parts = fn(points, digits)  # leaves [n_dev, W, ...]
+
+    ndev = mesh.devices.size
+    total = parts
+    while ndev > 1:
+        half = ndev // 2
+        lo = jax.tree.map(lambda l: l[:half], total)
+        hi = jax.tree.map(lambda l: l[half:], total)
+        total = group.add(lo, hi)
+        ndev = half
+    wsums = jax.tree.map(lambda l: l[0], total)
+    return M.combine_windows(group, wsums, c)
+
+
+# ---------------------------------------------------------------------------
+# Distributed four-step NTT.
+# ---------------------------------------------------------------------------
+
+
+def _fft_axis0(a, omega_int: int, n: int):
+    """Radix-2 DIT over axis 0 of [n, B, L] (B = local batch columns)."""
+    idx = jnp.asarray(N._bitrev_indices(n))
+    a = jnp.take(a, idx, axis=0)
+    pw = N.powers(omega_int, max(n // 2, 1))
+    log_n = n.bit_length() - 1
+    tail = a.shape[1:]
+    for s in range(log_n):
+        m = 1 << s
+        stride = n // (2 * m)
+        w = pw[::stride][:m]  # [m, L]
+        a = a.reshape((n // (2 * m), 2, m) + tail)
+        lo, hi = a[:, 0], a[:, 1]
+        t = F.mont_mul(FR, hi, w[None, :, None, :])
+        a = jnp.stack([F.add(FR, lo, t), F.sub(FR, lo, t)], axis=1)
+    return a.reshape((n,) + tail)
+
+
+def sharded_ntt(n: int, a, mesh: Mesh, inverse: bool = False,
+                axis: str = "data"):
+    """Four-step NTT of a [n, L] Montgomery coefficient array over a mesh.
+
+    n = n1 * n2 with n2 divisible by the mesh size.  Input sharded by
+    rows of the [n1, n2] view; output is the NTT in natural order, sharded
+    the same way.  Stages: local length-n1 FFTs, twiddles, all_to_all
+    transpose, local length-n2 FFTs.
+    """
+    ndev = mesh.devices.size
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    l1 = log_n // 2
+    n1 = 1 << l1
+    n2 = n // n1
+    assert n2 % ndev == 0 and n1 % ndev == 0, "mesh must divide both factors"
+
+    d = N.Domain(n)
+    omega = d.omega_inv if inverse else d.omega
+    omega1 = pow(omega, n2, R)  # length-n1 root
+    omega2 = pow(omega, n1, R)  # length-n2 root
+    L = FR.n_limbs
+
+    def local(a_blk):
+        # a_blk: [n1, n2/ndev, L] — columns j2 in [dev*loc : (dev+1)*loc]
+        loc = a_blk.shape[1]
+        dev = jax.lax.axis_index(axis)
+        # 1) column FFTs (over j1, full locally)
+        y = _fft_axis0(a_blk, omega1, n1)  # [n1, loc, L] indexed [k1, j2]
+        # 2) twiddle omega^(k1 * j2_global)
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (n1, loc), 0)
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (n1, loc), 1) + dev * loc
+        # twiddle exponent k1*j2 mod n; build from powers table via
+        # exponent splitting: omega^(e) = pw_lo[e % K] * pw_hi[e // K]
+        e = (k1 * j2) % n
+        K = 1 << ((log_n + 1) // 2)
+        pw_lo = N.powers(omega, K)                  # omega^i, i < K
+        pw_hi = N.powers(pow(omega, K, R), n // K + 1)
+        tw = F.mont_mul(FR, jnp.take(pw_lo, e % K, axis=0),
+                        jnp.take(pw_hi, e // K, axis=0))
+        y = F.mont_mul(FR, y, tw)
+        # 3) transpose across chips: [n1, loc] -> [n1/ndev, n2]
+        y = jax.lax.all_to_all(
+            y.reshape(ndev, n1 // ndev, loc, L), axis, 0, 2, tiled=False
+        )  # -> [n1/ndev, loc, ndev, L]? (verify axes in test)
+        y = jnp.moveaxis(y, 0, 2).reshape(n1 // ndev, ndev * loc, L)
+        # now rows are k1-shard, columns are j2 full
+        # 4) row FFTs over j2 (length n2): transpose to axis 0
+        z = _fft_axis0(jnp.swapaxes(y, 0, 1), omega2, n2)  # [n2(k2), n1loc, L]
+        return jnp.swapaxes(z, 0, 1)  # [n1loc, n2] indexed [k1, k2]
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, axis), out_specs=P(axis, None),
+        check_rep=False,
+    )
+    out = fn(a.reshape(n1, n2, L))
+    # X[k1 + n1*k2] = out[k1, k2] -> natural order via transpose-reshape
+    out = jnp.swapaxes(out, 0, 1).reshape(n, L)
+    if inverse:
+        out = F.mont_mul(FR, out, F.mont_const(FR, modinv(n, R), (1,)))
+    return out

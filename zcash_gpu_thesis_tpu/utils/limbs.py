@@ -59,3 +59,50 @@ def limbs_to_ints(a) -> list:
     a = np.asarray(a)
     flat = a.reshape(-1, a.shape[-1])
     return [limbs_to_int(row) for row in flat]
+
+
+def ints_to_limbs_fast(xs, n_limbs: int) -> np.ndarray:
+    """Vectorized bulk conversion: python ints -> [n, L] 12-bit limbs.
+
+    Routes through little-endian bytes + numpy bit slicing (two limbs per
+    three bytes); ~100x faster than the per-int loop for 2^17-element
+    vectors.
+    """
+    n = len(xs)
+    if n == 0:
+        return np.zeros((0, n_limbs), dtype=np.int32)
+    pairs = (n_limbs + 1) // 2
+    nbytes = pairs * 3
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    arr = np.frombuffer(buf, np.uint8).reshape(n, pairs, 3).astype(np.int32)
+    lo = arr[..., 0] | ((arr[..., 1] & 0xF) << 8)
+    hi = (arr[..., 1] >> 4) | (arr[..., 2] << 4)
+    out = np.stack([lo, hi], axis=-1).reshape(n, 2 * pairs)
+    return np.ascontiguousarray(out[:, :n_limbs])
+
+
+def limbs_to_ints_fast(a) -> list:
+    """Vectorized bulk recompose: [..., L] canonical 12-bit digits -> ints.
+
+    Only valid for canonical digits (< 2^12); lazy/redundant limbs must go
+    through ``limbs_to_ints``.
+    """
+    a = np.asarray(a)
+    flat = a.reshape(-1, a.shape[-1]).astype(np.int64)
+    assert flat.size == 0 or (0 <= flat.min() and flat.max() < (1 << LIMB_BITS))
+    n, L = flat.shape
+    pairs = (L + 1) // 2
+    if L % 2:
+        flat = np.concatenate([flat, np.zeros((n, 1), np.int64)], axis=1)
+    lo = flat[:, 0::2]
+    hi = flat[:, 1::2]
+    b = np.empty((n, pairs, 3), dtype=np.uint8)
+    b[..., 0] = lo & 0xFF
+    b[..., 1] = (lo >> 8) | ((hi & 0xF) << 4)
+    b[..., 2] = hi >> 4
+    byts = b.reshape(n, pairs * 3).tobytes()
+    step = pairs * 3
+    return [
+        int.from_bytes(byts[i * step : (i + 1) * step], "little")
+        for i in range(n)
+    ]
