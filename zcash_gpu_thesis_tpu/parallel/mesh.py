@@ -152,12 +152,11 @@ def sharded_ntt(n: int, a, mesh: Mesh, inverse: bool = False,
         tw = F.mont_mul(FR, jnp.take(pw_lo, e % K, axis=0),
                         jnp.take(pw_hi, e // K, axis=0))
         y = F.mont_mul(FR, y, tw)
-        # 3) transpose across chips: [n1, loc] -> [n1/ndev, n2]
-        y = jax.lax.all_to_all(
-            y.reshape(ndev, n1 // ndev, loc, L), axis, 0, 2, tiled=False
-        )  # -> [n1/ndev, loc, ndev, L]? (verify axes in test)
-        y = jnp.moveaxis(y, 0, 2).reshape(n1 // ndev, ndev * loc, L)
-        # now rows are k1-shard, columns are j2 full
+        # 3) transpose across chips: each device keeps its n1/ndev rows of
+        # k1 and gathers all of j2.  Tiled all_to_all splits the k1 axis
+        # into ndev blocks and concatenates received j2 column blocks in
+        # peer order: [n1, loc] -> [n1/ndev, ndev*loc = n2].
+        y = jax.lax.all_to_all(y, axis, 0, 1, tiled=True)
         # 4) row FFTs over j2 (length n2): transpose to axis 0
         z = _fft_axis0(jnp.swapaxes(y, 0, 1), omega2, n2)  # [n2(k2), n1loc, L]
         return jnp.swapaxes(z, 0, 1)  # [n1loc, n2] indexed [k1, k2]
