@@ -20,6 +20,9 @@ BASELINE_S = 0.75  # CPU Pippenger, i7-7700HQ (tex/Figures/finalresults.py:7)
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from zcash_gpu_thesis_tpu.oracle import curve as O
@@ -42,9 +45,9 @@ def main():
     c, chunks, k_inner = 4, 64, 8
 
     def run():
-        out = M.msm(G1, aff, digits, c, chunks, k_inner)
-        jax.block_until_ready(out)
-        return out
+        # msm_host pulls the [W] window sums to the host (forcing full
+        # device sync) and finishes with the python-int doubling ladder.
+        return M.msm_host(G1, aff, digits, c, chunks, k_inner)
 
     run()  # warmup/compile
     times = []

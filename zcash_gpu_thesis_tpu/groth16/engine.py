@@ -103,19 +103,32 @@ class BlsEngine:
 
     # -- bulk device ops ----------------------------------------------------
 
+    # Tuning: smaller chunk counts keep the device graphs small for the
+    # CPU test backend; the TPU bench overrides via msm_host directly.
+    msm_chunks = 8
+    msm_k_inner = 4
+
     def msm_g1(self, bases, scalars):
+        import jax.numpy as jnp
+
         from ..ops import curve as cv
         from ..ops import msm as M
 
-        out = M.msm_from_ints(cv.G1, bases, scalars)
-        return cv.g1_affine_to_ints(cv.G1.to_affine(out))[0]
+        aff = cv.g1_affine_from_ints(bases)
+        digits = jnp.asarray(M.digits_from_ints(scalars, 4))
+        return M.msm_host(cv.G1, aff, digits, 4, self.msm_chunks,
+                          self.msm_k_inner)
 
     def msm_g2(self, bases, scalars):
+        import jax.numpy as jnp
+
         from ..ops import curve as cv
         from ..ops import msm as M
 
-        out = M.msm_from_ints(cv.G2, bases, scalars)
-        return cv.g2_affine_to_ints(cv.G2.to_affine(out))[0]
+        aff = cv.g2_affine_from_ints(bases)
+        digits = jnp.asarray(M.digits_from_ints(scalars, 4))
+        return M.msm_host(cv.G2, aff, digits, 4, self.msm_chunks,
+                          self.msm_k_inner)
 
     def _fixed_base(self, group, from_ints, to_ints, gen, scalars):
         import numpy as np

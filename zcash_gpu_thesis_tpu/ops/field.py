@@ -223,10 +223,60 @@ def _conv(a, b):
     return _conv_looped(a, b, n)
 
 
+_MXU_TOEPLITZ_CACHE = {}
+
+
+def _redc_mxu() -> bool:
+    """Constant-operand convolutions as int8 MXU matmuls (exact integer
+    math, bit-identical to the VPU path).  The two REDC convolutions are
+    ~2/3 of a Montgomery multiply's MAC count; the MXU does them
+    essentially for free while the VPU handles the variable conv."""
+    mode = os.environ.get("ZKTPU_REDC")
+    if mode:
+        return mode == "mxu"
+    return jax.default_backend() != "cpu"
+
+
+def _conv_const_mxu(a, digits, out_len: int):
+    """a @ T with T[i, k] = digits[k-i], via 4 int8 x int8 -> int32 MXU
+    matmuls after 7-bit limb splitting (values <= 2^12+2 = two int8s)."""
+    n = a.shape[-1]
+    key = (bytes(np.asarray(digits, np.int32).tobytes()), n, out_len)
+    cached = _MXU_TOEPLITZ_CACHE.get(key)
+    if cached is None:
+        t = np.zeros((n, out_len), dtype=np.int32)
+        for i in range(n):
+            for k in range(out_len):
+                j = k - i
+                if 0 <= j < len(digits):
+                    t[i, k] = int(digits[j])
+        # cache host numpy (never traced jax values — they would leak
+        # tracers across jit scopes)
+        cached = ((t & 127).astype(np.int8), (t >> 7).astype(np.int8))
+        _MXU_TOEPLITZ_CACHE[key] = cached
+    t0, t1 = cached
+    a0 = (a & 127).astype(jnp.int8)
+    a1 = (a >> 7).astype(jnp.int8)
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    return (
+        mm(a0, t0)
+        + ((mm(a0, t1) + mm(a1, t0)) << 7)
+        + (mm(a1, t1) << 14)
+    )
+
+
 def _conv_const(a, digits, out_len: int):
     """Convolution of [.., n] limbs with a small host-constant digit vector,
     truncated to out_len output limbs (drops limbs >= out_len)."""
     n = a.shape[-1]
+    if _redc_mxu():
+        return _conv_const_mxu(a, digits, out_len)
     if _unroll():
         acc = jnp.zeros(a.shape[:-1] + (out_len,), dtype=jnp.int32)
         for j, d in enumerate(digits):

@@ -223,6 +223,42 @@ def msm(group: Group, points, digits, c: int = 4, chunks: int = 64,
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def window_sums_affine(group: Group, points, digits, c: int, chunks: int,
+                       k_inner: int):
+    """Device part of the host-combined MSM: [W] affine window sums."""
+    return group.to_affine(
+        window_sums(group, points, digits, c, chunks, k_inner)
+    )
+
+
+def msm_host(group: Group, points, digits, c: int = 4, chunks: int = 64,
+             k_inner: int = 8):
+    """MSM with the final W-window doubling ladder on the host.
+
+    The ladder is ~255 sequential batch-1 group ops — microseconds of
+    python-int math but milliseconds of underutilized TPU dispatch, the
+    same reason the reference ran its final reduction on the CPU
+    (multiexp.rs:2968-2986).  Returns a python-int affine point (None for
+    identity).
+    """
+    from ..oracle import curve as O
+
+    aff = window_sums_affine(group, points, digits, c, chunks, k_inner)
+    if group is G1:
+        wsums = cv.g1_affine_to_ints(aff)
+        add = O.g1_add
+    else:
+        wsums = cv.g2_affine_to_ints(aff)
+        add = O.g2_add
+    acc = None
+    for wsum in reversed(wsums):
+        for _ in range(c):
+            acc = add(acc, acc)
+        acc = add(acc, wsum)
+    return acc
+
+
 def msm_from_ints(group: Group, point_ints, scalar_ints, c: int = 4,
                   chunks: int = 8, k_inner: int = 4):
     """Host convenience: python-int points/scalars -> projective result."""
