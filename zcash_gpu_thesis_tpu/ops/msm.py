@@ -72,13 +72,20 @@ def digits_from_canonical(scalars, c: int):
 
 
 def digits_from_ints(xs, c: int) -> np.ndarray:
-    """Host helper: python ints -> [n, W] digit array."""
+    """Host helper: python ints -> [n, W] digit array (vectorized via the
+    bulk 12-bit limb packer)."""
+    from ..utils.limbs import ints_to_limbs_fast
+
     w_count = -(-FR_BITS // c)
+    limbs = ints_to_limbs_fast(xs, 24).astype(np.int64)  # [n, 24] 12-bit
     out = np.zeros((len(xs), w_count), dtype=np.int32)
-    for i, x in enumerate(xs):
-        x = int(x)
-        for w in range(w_count):
-            out[i, w] = (x >> (c * w)) & ((1 << c) - 1)
+    for w in range(w_count):
+        bit = c * w
+        l0, s0 = bit // 12, bit % 12
+        d = limbs[:, l0] >> s0
+        if s0 + c > 12 and l0 + 1 < 24:
+            d |= limbs[:, l0 + 1] << (12 - s0)
+        out[:, w] = d & ((1 << c) - 1)
     return out
 
 
