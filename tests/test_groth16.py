@@ -156,3 +156,75 @@ def test_xordemo_bls_end_to_end():
     )
     assert verify_proof(e, pvk, proof, [0])
     assert not verify_proof(e, pvk, proof, [1])
+
+
+MIMC_ROUNDS = 322
+
+
+def mimc_host(xl, xr, constants, p):
+    """MiMC-crypt reference (mimc.rs:55-71)."""
+    for c in constants:
+        xl, xr = (xr + pow((xl + c) % p, 3, p)) % p, xl
+    return xl
+
+
+class MiMCDemo(Circuit):
+    """The reference's MiMC benchmark circuit (bellman/tests/mimc.rs:77-170):
+    2 constraints per round, the last round's xl exposed as the image."""
+
+    def __init__(self, p, xl, xr, constants):
+        self.p = p
+        self.xl, self.xr = xl, xr
+        self.constants = constants
+
+    def synthesize(self, cs):
+        assert len(self.constants) == MIMC_ROUNDS
+        p = self.p
+        xl_value, xr_value = self.xl, self.xr
+        xl = cs.alloc("preimage xl", lambda: xl_value)
+        xr = cs.alloc("preimage xr", lambda: xr_value)
+        for i, ci in enumerate(self.constants):
+            ns = f"round {i}"
+            tmp_value = (
+                None if xl_value is None else (xl_value + ci) ** 2 % p
+            )
+            tmp = cs.alloc(f"{ns}/tmp", lambda v=tmp_value: v)
+            cs.enforce(
+                f"{ns}/tmp = (xL + Ci)^2",
+                _lc(xl, (ci, ONE)), _lc(xl, (ci, ONE)), _lc(tmp),
+            )
+            new_xl_value = (
+                None if xl_value is None
+                else ((xl_value + ci) * tmp_value + xr_value) % p
+            )
+            if i == MIMC_ROUNDS - 1:
+                new_xl = cs.alloc_input("image", lambda v=new_xl_value: v)
+            else:
+                new_xl = cs.alloc(f"{ns}/new_xl", lambda v=new_xl_value: v)
+            cs.enforce(
+                f"{ns}/new_xL = xR + (xL + Ci)^3",
+                _lc(tmp), _lc(xl, (ci, ONE)), _lc(new_xl, (-1, xr)),
+            )
+            xr, xr_value = xl, xl_value
+            xl, xl_value = new_xl, new_xl_value
+
+
+def test_mimc_dummy_prove_verify():
+    """mimc.rs end-to-end on the dummy engine: 100 prove/verify rounds in
+    the reference; a handful here, plus rejection of wrong images."""
+    e = DummyEngine()
+    rng = random.Random(99)
+    constants = [rng.randrange(e.r) for _ in range(MIMC_ROUNDS)]
+    params = generate_parameters(
+        e, MiMCDemo(e.r, None, None, constants), 3, 5, 7, 11, 13
+    )
+    pvk = prepare_verifying_key(e, params.vk)
+    for _ in range(5):
+        xl, xr = rng.randrange(e.r), rng.randrange(e.r)
+        image = mimc_host(xl, xr, constants, e.r)
+        proof = create_proof(
+            e, MiMCDemo(e.r, xl, xr, constants), params,
+            r=rng.randrange(e.r), s=rng.randrange(e.r),
+        )
+        assert verify_proof(e, pvk, proof, [image])
+        assert not verify_proof(e, pvk, proof, [(image + 1) % e.r])
