@@ -40,14 +40,14 @@ def main():
     scalars = [rng.randrange(O.R) for _ in range(N)]
 
     aff = cv.g1_affine_from_ints(pts)
-    digits = jnp.asarray(M.digits_from_ints(scalars, 4))
+    digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
 
-    c, chunks, k_inner = 4, 64, 8
+    c, chunks, k_inner = 4, 256, 8
 
     def run():
         # msm_host pulls the [W] window sums to the host (forcing full
         # device sync) and finishes with the python-int doubling ladder.
-        return M.msm_host(G1, aff, digits, c, chunks, k_inner)
+        return M.msm_host(G1, aff, digits, c, chunks, k_inner, signed=True)
 
     run()  # warmup/compile
     times = []

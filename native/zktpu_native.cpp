@@ -293,6 +293,10 @@ void zktpu_bytes_to_limbs(const uint8_t* rows, size_t n_rows,
     for (size_t l = 0; l < n_limbs; l++) {
       size_t bit = l * 12;
       size_t byte = bit / 8;
+      if (byte >= row_bytes) {
+        dst[l] = 0;
+        continue;
+      }
       uint32_t v = src[byte];
       if (byte + 1 < row_bytes) v |= (uint32_t)src[byte + 1] << 8;
       if (byte + 2 < row_bytes) v |= (uint32_t)src[byte + 2] << 16;

@@ -100,3 +100,28 @@ def test_digit_decomposition():
         dev = np.asarray(M.digits_from_canonical(limbs, c))
         host = M.digits_from_ints(xs, c)
         assert (dev == host).all(), c
+
+
+def test_g1_msm_signed_digits(g1pts):
+    """Signed-digit recoding (half the buckets) matches the oracle."""
+    import jax.numpy as jnp
+
+    rng = random.Random(77)
+    scalars = [rng.randrange(R) for _ in g1pts]
+    scalars[0] = 0
+    scalars[1] = R - 1
+    aff = C.g1_affine_from_ints(g1pts)
+    sd = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+    got = M.msm_host(C.G1, aff, sd, 4, 4, 2, signed=True)
+    assert got == O.g1_msm(g1pts, scalars)
+
+
+def test_recode_signed_reconstruction():
+    rng = random.Random(78)
+    xs = [rng.randrange(R) for _ in range(16)] + [0, 1, R - 1]
+    for c in (2, 4, 8):
+        sd = M.recode_signed(M.digits_from_ints(xs, c), c)
+        assert np.abs(sd).max() <= 1 << (c - 1)
+        for i, x in enumerate(xs):
+            v = sum(int(sd[i, w]) << (c * w) for w in range(sd.shape[1]))
+            assert v == x

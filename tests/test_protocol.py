@@ -169,3 +169,47 @@ def test_note_and_keys():
     v2 = P.ValueCommitment(4, 23)
     v3 = P.ValueCommitment(7, 40)
     assert J.edwards_add(v1.cm(), v2.cm()) == v3.cm()
+
+
+def test_wnaf():
+    from zcash_gpu_thesis_tpu.oracle import curve as O
+    from zcash_gpu_thesis_tpu.utils.wnaf import wnaf_exp, wnaf_form
+
+    rng = random.Random(61)
+    for k in [0, 1, 2, 3, 12345, O.R - 1, rng.randrange(O.R)]:
+        # digit reconstruction
+        digits = wnaf_form(k, 4)
+        assert sum(d << i for i, d in enumerate(digits)) == k
+        assert all(d == 0 or d % 2 for d in digits)
+        if k:
+            got = wnaf_exp(
+                O.g1_add, lambda p: (p[0], (-p[1]) % O.Q), None,
+                O.G1_GEN, k, window=4,
+            )
+            assert got == O.g1_mul(O.G1_GEN, k), k
+
+
+def test_fixtures_roundtrip(tmp_path):
+    import numpy as np
+
+    from zcash_gpu_thesis_tpu.ops import field as F
+    from zcash_gpu_thesis_tpu.oracle import curve as O
+    from zcash_gpu_thesis_tpu.utils import fixtures
+    from zcash_gpu_thesis_tpu.utils.limbs import limbs_to_ints_fast
+
+    path = str(tmp_path / "fx.bin")
+    fixtures.generate(path, 20, base_points=4)
+    x_l, y_l, s_l = fixtures.load(path)
+    xs = limbs_to_ints_fast(x_l)
+    ys = limbs_to_ints_fast(y_l)
+    ss = limbs_to_ints_fast(s_l)
+    # deterministic: same seed -> same stream
+    rng = fixtures.XorShift128()
+    pool = [rng.fr() for _ in range(4)]
+    for i in range(20):
+        assert O.g1_on_curve((xs[i], ys[i]))
+        assert ss[i] == rng.fr()
+        assert (xs[i], ys[i]) == O.g1_mul(O.G1_GEN, pool[i % 4])
+    # limit works
+    x2, _, _ = fixtures.load(path, limit=5)
+    assert x2.shape[0] == 5

@@ -115,9 +115,9 @@ class BlsEngine:
         from ..ops import msm as M
 
         aff = cv.g1_affine_from_ints(bases)
-        digits = jnp.asarray(M.digits_from_ints(scalars, 4))
+        digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
         return M.msm_host(cv.G1, aff, digits, 4, self.msm_chunks,
-                          self.msm_k_inner)
+                          self.msm_k_inner, signed=True)
 
     def msm_g2(self, bases, scalars):
         import jax.numpy as jnp
@@ -126,9 +126,9 @@ class BlsEngine:
         from ..ops import msm as M
 
         aff = cv.g2_affine_from_ints(bases)
-        digits = jnp.asarray(M.digits_from_ints(scalars, 4))
+        digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
         return M.msm_host(cv.G2, aff, digits, 4, self.msm_chunks,
-                          self.msm_k_inner)
+                          self.msm_k_inner, signed=True)
 
     def _fixed_base(self, group, from_ints, to_ints, gen, scalars):
         import numpy as np

@@ -90,6 +90,8 @@ def bytes_to_limbs(rows: bytes, n_rows: int, row_bytes: int,
         for i in range(n_limbs):
             bit = 12 * i
             byte = bit // 8
+            if byte >= row_bytes:
+                continue
             v = arr[:, byte].astype(np.int32)
             if byte + 1 < row_bytes:
                 v |= arr[:, byte + 1].astype(np.int32) << 8

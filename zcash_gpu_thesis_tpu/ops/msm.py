@@ -89,6 +89,28 @@ def digits_from_ints(xs, c: int) -> np.ndarray:
     return out
 
 
+def recode_signed(digits: np.ndarray, c: int) -> np.ndarray:
+    """Unsigned c-bit windows -> signed digits in [-(2^(c-1)), 2^(c-1))
+    plus one carry window; halves the bucket count (|d| <= 2^(c-1)).
+
+    The reference's GPU kernels used unsigned buckets (15 for 4-bit,
+    bls12-381.cl:2819); signed recoding is the standard halving trick —
+    bucket traffic is the one-hot path's dominant cost on TPU.
+    """
+    digits = np.asarray(digits, dtype=np.int32)
+    n, w = digits.shape
+    out = np.zeros((n, w + 1), dtype=np.int32)
+    carry = np.zeros((n,), dtype=np.int32)
+    half = 1 << (c - 1)
+    full = 1 << c
+    for i in range(w):
+        d = digits[:, i] + carry
+        carry = (d >= half).astype(np.int32)
+        out[:, i] = d - carry * full
+    out[:, w] = carry
+    return out
+
+
 def _tree_map(fn, *trees):
     return jax.tree.map(fn, *trees)
 
@@ -124,7 +146,7 @@ def padded_affine(group: Group, aff, n_pad: int):
 
 
 def window_sums(group: Group, points, digits, c: int = 4, chunks: int = 64,
-                k_inner: int = 8):
+                k_inner: int = 8, signed: bool = False):
     """Per-window Pippenger partial sums: a [W]-batched projective pytree.
 
     This is the shard-local body of an MSM; the multi-chip MSM computes
@@ -144,7 +166,8 @@ def window_sums(group: Group, points, digits, c: int = 4, chunks: int = 64,
     assert chunks & (chunks - 1) == 0, "chunks must be a power of two"
     n = digits.shape[0]
     w_count = digits.shape[1]
-    nb = (1 << c) - 1
+    # signed digits (recode_signed) use |d| <= 2^(c-1): half the buckets
+    nb = (1 << (c - 1)) if signed else (1 << c) - 1
 
     grid = chunks * k_inner
     steps = -(-n // grid)
@@ -170,11 +193,19 @@ def window_sums(group: Group, points, digits, c: int = 4, chunks: int = 64,
         for t in range(k_inner):
             aff_t = _tree_map(lambda l: l[t], pts_s)  # [chunks, ...]
             d_t = digs_s[t]  # [chunks, W]
-            onehot = (d_t[..., None] == bucket_ids).astype(jnp.int32)
+            if signed:
+                mag = jnp.abs(d_t)
+                sign = d_t < 0
+            else:
+                mag = d_t
+            onehot = (mag[..., None] == bucket_ids).astype(jnp.int32)
             sel = _bucket_select(onehot, buckets)  # [chunks, W, ...]
             x, y, inf = aff_t
             bx = _tree_map(lambda l: l[:, None], x)
             by = _tree_map(lambda l: l[:, None], y)
+            if signed:
+                # negative digit: add -P (negate y per (chunk, window) lane)
+                by = group.f.select(sign, group.f.neg(by), by)
             binf = jnp.broadcast_to(inf[:, None], d_t.shape)
             new = group.add_mixed(sel, (bx, by, binf))
             buckets = _bucket_update(onehot, new, buckets)
@@ -220,27 +251,27 @@ def combine_windows(group: Group, wsums, c: int):
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def msm(group: Group, points, digits, c: int = 4, chunks: int = 64,
-        k_inner: int = 8):
+        k_inner: int = 8, signed: bool = False):
     """Multi-scalar multiplication sum_i scalar_i * P_i -> one projective
     point (pytree with batch shape ()).  See window_sums for the layout."""
     return combine_windows(
-        group, window_sums(group, points, digits, c, chunks, k_inner), c
+        group, window_sums(group, points, digits, c, chunks, k_inner, signed), c
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def window_sums_affine(group: Group, points, digits, c: int, chunks: int,
-                       k_inner: int):
+                       k_inner: int, signed: bool = False):
     """Device part of the host-combined MSM: [W] affine window sums."""
     return group.to_affine(
-        window_sums(group, points, digits, c, chunks, k_inner)
+        window_sums(group, points, digits, c, chunks, k_inner, signed)
     )
 
 
 def msm_host(group: Group, points, digits, c: int = 4, chunks: int = 64,
-             k_inner: int = 8):
+             k_inner: int = 8, signed: bool = False):
     """MSM with the final W-window doubling ladder on the host.
 
     The ladder is ~255 sequential batch-1 group ops — microseconds of
@@ -251,7 +282,7 @@ def msm_host(group: Group, points, digits, c: int = 4, chunks: int = 64,
     """
     from ..oracle import curve as O
 
-    aff = window_sums_affine(group, points, digits, c, chunks, k_inner)
+    aff = window_sums_affine(group, points, digits, c, chunks, k_inner, signed)
     if group is G1:
         wsums = cv.g1_affine_to_ints(aff)
         add = O.g1_add
