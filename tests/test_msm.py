@@ -125,3 +125,20 @@ def test_recode_signed_reconstruction():
         for i, x in enumerate(xs):
             v = sum(int(sd[i, w]) << (c * w) for w in range(sd.shape[1]))
             assert v == x
+
+
+def test_g1_msm_pallas_interpret(g1pts):
+    """The VMEM bucket kernel (interpret mode) matches the oracle."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+
+    rng = random.Random(79)
+    scalars = [rng.randrange(R) for _ in g1pts]
+    scalars[0] = 0
+    aff = C.g1_affine_from_ints(g1pts)
+    sd = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+    with pltpu.force_tpu_interpret_mode():
+        got = MP.msm_host_pallas(C.G1, aff, sd, 4, 4, 2)
+    assert got == O.g1_msm(g1pts, scalars)

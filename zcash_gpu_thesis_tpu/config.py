@@ -1,0 +1,62 @@
+"""Runtime configuration.
+
+The reference's "config system" is compile-time only: Cargo features
+(``u128-support``, ``opencl_vendor_mesa``), commented-out lines in
+``run_tests`` (multiexp.rs:538-593) and kernel #defines
+(bls12-381.cl:193-238).  This replaces it with one typed, env-overridable
+config object consulted by the kernels.
+
+Environment overrides:
+  ZKTPU_CONV_MODE   unroll | loop     (conv scheduling; field.py)
+  ZKTPU_REDC        mxu | vpu         (REDC const-conv backend; field.py)
+  ZKTPU_MSM_IMPL    pallas | xla      (bucket accumulation path)
+  ZKTPU_MSM_C       window bit width  (default 4)
+  ZKTPU_MSM_CHUNKS  parallel chunks   (default backend-dependent)
+  ZKTPU_MSM_K       points per chunk per step
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _backend() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
+@dataclasses.dataclass
+class MsmConfig:
+    impl: str
+    c: int
+    chunks: int
+    k_inner: int
+    signed: bool = True
+
+
+def msm_config() -> MsmConfig:
+    on_tpu = _backend() != "cpu"
+    impl = os.environ.get("ZKTPU_MSM_IMPL", "pallas" if on_tpu else "xla")
+    return MsmConfig(
+        impl=impl,
+        c=int(os.environ.get("ZKTPU_MSM_C", "4")),
+        chunks=int(os.environ.get("ZKTPU_MSM_CHUNKS",
+                                  "32" if on_tpu else "8")),
+        k_inner=int(os.environ.get("ZKTPU_MSM_K", "4")),
+    )
+
+
+def conv_unrolled() -> bool:
+    mode = os.environ.get("ZKTPU_CONV_MODE")
+    if mode:
+        return mode == "unroll"
+    return _backend() != "cpu"
+
+
+def redc_mxu() -> bool:
+    mode = os.environ.get("ZKTPU_REDC")
+    if mode:
+        return mode == "mxu"
+    return _backend() != "cpu"

@@ -526,3 +526,81 @@ def librustzcash_zip32_xfvk_address(xfvk: bytes, j: bytes):
         j_ret.to_bytes(11, "little"),
         addr.diversifier + J.point_write(addr.pk_d),
     )
+
+
+# -- Sprout (rustzcash.rs:945-1145) ------------------------------------------
+
+SPROUT_TREE_DEPTH = 29
+
+
+def _parse_sprout_witness(auth: bytes):
+    """1-byte depth || 29 x (1-byte len=32 || sibling bytes) in reverse ||
+    LE u64 position -> auth_path [(sibling_bytes, is_right)]."""
+    assert auth[0] == SPROUT_TREE_DEPTH
+    off = 1
+    path = [None] * SPROUT_TREE_DEPTH
+    for i in range(SPROUT_TREE_DEPTH - 1, -1, -1):
+        assert auth[off] == 32
+        off += 1
+        path[i] = [auth[off : off + 32], False]
+        off += 32
+    position = int.from_bytes(auth[off : off + 8], "little")
+    for i in range(SPROUT_TREE_DEPTH):
+        path[i][1] = bool((position >> i) & 1)
+    return [tuple(p) for p in path]
+
+
+def librustzcash_sprout_prove(
+    sprout_params, phi, rt, h_sig,
+    in_sk1, in_value1, in_rho1, in_r1, in_auth1,
+    in_sk2, in_value2, in_rho2, in_r2, in_auth2,
+    out_pk1, out_value1, out_r1,
+    out_pk2, out_value2, out_r2,
+    vpub_old, vpub_new, rng=None,
+) -> bytes:
+    """Create a Groth16 JoinSplit proof (192 bytes).  `sprout_params` is
+    a groth16.Parameters for the Sprout circuit (the reference streams the
+    giant params file per call, rustzcash.rs:1062-1090)."""
+    import random as _random
+
+    from ..circuits.sprout import JoinSplit, JSInput, JSOutput
+    from ..groth16 import BlsEngine
+
+    rng = rng or _random.SystemRandom()
+    inputs = [
+        JSInput(value=in_value1, a_sk=in_sk1, rho=in_rho1, r=in_r1,
+                auth_path=_parse_sprout_witness(in_auth1)),
+        JSInput(value=in_value2, a_sk=in_sk2, rho=in_rho2, r=in_r2,
+                auth_path=_parse_sprout_witness(in_auth2)),
+    ]
+    outputs = [
+        JSOutput(value=out_value1, a_pk=out_pk1, r=out_r1),
+        JSOutput(value=out_value2, a_pk=out_pk2, r=out_r2),
+    ]
+    js = JoinSplit(vpub_old=vpub_old, vpub_new=vpub_new, h_sig=h_sig,
+                   phi=phi, inputs=inputs, outputs=outputs, rt=rt)
+    e = BlsEngine()
+    proof = create_proof(
+        e, js, sprout_params,
+        r=rng.randrange(FR_MOD), s=rng.randrange(FR_MOD),
+    )
+    return codecs.proof_to_bytes(proof)
+
+
+def librustzcash_sprout_verify(sprout_pvk, proof, rt, h_sig, mac1, mac2,
+                               nf1, nf2, cm1, cm2, vpub_old, vpub_new
+                               ) -> bool:
+    """Verify a JoinSplit proof against the packed public inputs
+    (rustzcash.rs:1093-1139)."""
+    from ..circuits.multipack import bytes_to_bits
+    from ..groth16 import BlsEngine
+
+    data = (rt + h_sig + nf1 + mac1 + nf2 + mac2 + cm1 + cm2
+            + int(vpub_old).to_bytes(8, "little")
+            + int(vpub_new).to_bytes(8, "little"))
+    public_input = compute_multipacking(bytes_to_bits(data))
+    try:
+        p = codecs.proof_from_bytes(proof)
+    except codecs.CodecError:
+        return False
+    return verify_proof(BlsEngine(), sprout_pvk, p, public_input)

@@ -202,10 +202,9 @@ def _unroll() -> bool:
     through HBM 2L times per multiply); compact fori_loop graphs keep XLA
     *compile* times sane on the CPU test backend.  Both orderings perform
     bit-identical arithmetic."""
-    mode = os.environ.get("ZKTPU_CONV_MODE")
-    if mode:
-        return mode == "unroll"
-    return jax.default_backend() != "cpu"
+    from ..config import conv_unrolled
+
+    return conv_unrolled()
 
 
 def _conv(a, b):
@@ -231,10 +230,9 @@ def _redc_mxu() -> bool:
     math, bit-identical to the VPU path).  The two REDC convolutions are
     ~2/3 of a Montgomery multiply's MAC count; the MXU does them
     essentially for free while the VPU handles the variable conv."""
-    mode = os.environ.get("ZKTPU_REDC")
-    if mode:
-        return mode == "mxu"
-    return jax.default_backend() != "cpu"
+    from ..config import redc_mxu
+
+    return redc_mxu()
 
 
 def _conv_const_mxu(a, digits, out_len: int):

@@ -2,10 +2,10 @@
 
 Same mathematics as ``ops.field`` (12-bit limbs, carry-free convolution,
 3-round ripple, full REDC, lazy fold) but with the limb axis LEADING:
-arrays are ``[L, lanes...]`` so the batch sits on the TPU lane dimension
-(128-wide) and limb shifts become sublane slices.  Inside a Pallas kernel
-every operation here compiles to straight-line vector code over VMEM —
-no XLA op dispatch, no HBM round trips.
+arrays are ``[L, lanes]`` so the batch sits on the TPU lane dimension and
+limb shifts become sublane slices.  Written in Mosaic-friendly style:
+every intermediate stays 2D, constants appear only as python scalars,
+and accumulations use pad-and-add (no scatter, no lane reshapes).
 
 Bit-identical to ``ops.field`` up to transposition (tested).
 """
@@ -13,10 +13,9 @@ Bit-identical to ``ops.field`` up to transposition (tested).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
-from .field import LMAX, MASK, FieldSpec
 from ..constants import LIMB_BITS
+from .field import LMAX, MASK, FieldSpec
 
 
 def _ripple(x, rounds: int):
@@ -35,24 +34,26 @@ def _ripple_mod(x, rounds: int):
 
 def _fold(spec: FieldSpec, x):
     F, L = spec.fold, spec.n_limbs
-    top = x[F]
+    top = x[F : F + 1]
     for k in range(F + 1, L):
-        top = top + (x[k] << (LIMB_BITS * (k - F)))
-    delta = spec.delta_digits  # host ints
-    rows = [x[k] + int(delta[k]) * top for k in range(F)]
-    rows += [jnp.zeros_like(top) for _ in range(L - F)]
-    return jnp.stack(rows, axis=0)
+        top = top + (x[k : k + 1] << (LIMB_BITS * (k - F)))
+    delta = spec.delta_digits
+    rows = [x[k : k + 1] + int(delta[k]) * top for k in range(F)]
+    rows.append(jnp.zeros_like(top))
+    for _ in range(F + 1, L):
+        rows.append(jnp.zeros_like(top))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _normalize(spec: FieldSpec, x):
     return _ripple(_fold(spec, _ripple(x, 1)), 2)
 
 
-def _add_const_rows(digits, x, sign: int):
-    """rows_k = digits[k] + sign * x[k], built from scalar literals only
-    (Pallas kernels cannot capture array constants)."""
-    return jnp.stack(
-        [int(digits[k]) + sign * x[k] for k in range(x.shape[0])], axis=0
+def _sub_const_rows(spec: FieldSpec, x):
+    """rows_k = sub_digits[k] - x[k] from scalar literals (2D slices)."""
+    m = spec.sub_digits
+    return jnp.concatenate(
+        [int(m[k]) - x[k : k + 1] for k in range(x.shape[0])], axis=0
     )
 
 
@@ -61,11 +62,11 @@ def add(spec: FieldSpec, a, b):
 
 
 def sub(spec: FieldSpec, a, b):
-    return _normalize(spec, a + _add_const_rows(spec.sub_digits, b, -1))
+    return _normalize(spec, a + _sub_const_rows(spec, b))
 
 
 def neg(spec: FieldSpec, a):
-    return _normalize(spec, _add_const_rows(spec.sub_digits, a, -1))
+    return _normalize(spec, _sub_const_rows(spec, a))
 
 
 def double(spec: FieldSpec, a):
@@ -85,16 +86,15 @@ def mul_small(spec: FieldSpec, a, k: int):
 
 
 def _conv(a, b, n):
-    """[n, ...] x [n, ...] -> raw [2n, ...]; static sublane slices."""
+    """[n, P] x [n, P] -> raw [2n, P].  Pad-and-add (no scatter)."""
     acc = jnp.zeros((2 * n,) + a.shape[1:], dtype=jnp.int32)
+    tail_pad = ((0, 0),) * (a.ndim - 1)
     for i in range(n):
-        acc = acc.at[i : i + n].add(a[i] * b)
+        acc = acc + jnp.pad(a[i : i + 1] * b, ((i, n - i),) + tail_pad)
     return acc
 
 
 def _conv_const(a, digits, out_len: int):
-    # pad-and-add form: `.at[j:j+w].add` with truncated widths makes the
-    # tracer materialize empty helper constants that Pallas rejects
     acc = jnp.zeros((out_len,) + a.shape[1:], dtype=jnp.int32)
     n = a.shape[0]
     tail_pad = ((0, 0),) * (a.ndim - 1)
@@ -103,10 +103,9 @@ def _conv_const(a, digits, out_len: int):
         if d == 0 or j >= out_len:
             continue
         width = min(n, out_len - j)
-        contrib = jnp.pad(
+        acc = acc + jnp.pad(
             d * a[:width], ((j, out_len - j - width),) + tail_pad
         )
-        acc = acc + contrib
     return acc
 
 
@@ -115,9 +114,9 @@ def mont_mul(spec: FieldSpec, a, b):
     t = _ripple(_conv(a, b, L), 3)
     m = _ripple_mod(_conv_const(t[:L], spec.nprime_digits, L), 3)
     s = _ripple(_conv_const(m, spec.p_digits, 2 * L) + t, 3)
-    carry = jnp.any(s[:L] != 0, axis=0).astype(jnp.int32)
+    carry = jnp.any(s[:L] != 0, axis=0, keepdims=True).astype(jnp.int32)
     out = s[L:]
-    return jnp.concatenate([out[:1] + carry[None], out[1:]], axis=0)
+    return jnp.concatenate([out[:1] + carry, out[1:]], axis=0)
 
 
 def mont_square(spec: FieldSpec, a):
@@ -125,5 +124,5 @@ def mont_square(spec: FieldSpec, a):
 
 
 def select(mask, a, b):
-    """mask over lanes (no limb axis) -> broadcast across limbs."""
-    return jnp.where(mask[None], a, b)
+    """mask [1, lanes] (or broadcastable) selecting whole field elements."""
+    return jnp.where(mask, a, b)

@@ -9,6 +9,10 @@ each grid step folds `k_inner` point batches into the buckets with the
 transposed lazy-field arithmetic (ops.field_t), and the state is written
 out exactly once at the end.
 
+Mosaic constraints shape the design: no lane reshapes (the chunk->lane
+broadcast is an exact f32 matmul against a 0/1 expansion matrix on the
+MXU), every intermediate 2D, constants as scalars only.
+
 Signed 4-bit digits (8 buckets) keep the state at ~7 MB for 32 chunks x
 65 windows.  Digit 0 skips (padding and zero windows).  The suffix sums /
 chunk fold / final ladder reuse the XLA/host path in ops.msm.
@@ -34,15 +38,13 @@ FQ = F.FQ
 
 def _madd_t(spec, b3: int, acc, aff):
     """Transposed complete mixed addition (RCB Algorithm 8, a=0), field
-    elements [L, lanes].  `aff` = (x2, y2); the P2-at-infinity case is
-    excluded by digit-0 skipping."""
+    elements [L, lanes].  The P2-at-infinity case is excluded by digit-0
+    skipping."""
     x1, y1, z1 = acc
     x2, y2 = aff
     t0 = FT.mont_mul(spec, x1, x2)
     t1 = FT.mont_mul(spec, y1, y2)
-    t3 = FT.mont_mul(
-        spec, FT.add(spec, x2, y2), FT.add(spec, x1, y1)
-    )
+    t3 = FT.mont_mul(spec, FT.add(spec, x2, y2), FT.add(spec, x1, y1))
     t3 = FT.sub(spec, t3, FT.add(spec, t0, t1))
     t4 = FT.add(spec, FT.mont_mul(spec, y2, z1), y1)
     y3 = FT.add(spec, FT.mont_mul(spec, x2, z1), x1)
@@ -57,8 +59,8 @@ def _madd_t(spec, b3: int, acc, aff):
     return (x3, y3, z3)
 
 
-def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, out_ref, bx, by, bz, *,
-            spec, k_inner, chunks, w_count, nb, b3, steps):
+def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
+            bx, by, bz, *, spec, k_inner, chunks, w_count, nb, b3, steps):
     g = pl.program_id(0)
     L = spec.n_limbs
     P = chunks * w_count
@@ -66,26 +68,36 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, out_ref, bx, by, bz, *,
     @pl.when(g == 0)
     def _init():
         one_digits = int_to_limbs(spec.r, L)
-        one = jnp.stack(
-            [jnp.full((P,), int(one_digits[k]), jnp.int32) for k in range(L)]
+        one = jnp.concatenate(
+            [jnp.full((1, P), int(one_digits[k]), jnp.int32) for k in range(L)],
+            axis=0,
         )
-        bx[...] = jnp.zeros((nb, L, P), jnp.int32)
-        by[...] = jnp.broadcast_to(one[None], (nb, L, P))
-        bz[...] = jnp.zeros((nb, L, P), jnp.int32)
+        for b in range(nb):
+            bx[b] = jnp.zeros((L, P), jnp.int32)
+            by[b] = one
+            bz[b] = jnp.zeros((L, P), jnp.int32)
+
+    expand = expand_ref[...]  # [chunks, P] f32 0/1 block-expansion matrix
 
     for t in range(k_inner):
         x = xs_ref[0, :, t * chunks : (t + 1) * chunks]  # [L, chunks]
         y = ys_ref[0, :, t * chunks : (t + 1) * chunks]
-        mag = mag_ref[0, t]    # [P]
-        sign = sign_ref[0, t]  # [P]
-        xb = jnp.broadcast_to(x[:, :, None], (L, chunks, w_count)).reshape(L, P)
-        yb = jnp.broadcast_to(y[:, :, None], (L, chunks, w_count)).reshape(L, P)
+        mag = mag_ref[0, t : t + 1]    # [1, P]
+        sign = sign_ref[0, t : t + 1]  # [1, P]
+        # chunk -> (chunk, window) lane broadcast: exact f32 matmul with
+        # the one-hot expansion matrix (single 1 per column => exact)
+        xb = jnp.dot(
+            x.astype(jnp.float32), expand, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        yb = jnp.dot(
+            y.astype(jnp.float32), expand, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
         yb = FT.select(sign != 0, FT.neg(spec, yb), yb)
 
         zero = jnp.zeros((L, P), jnp.int32)
         selx, sely, selz = zero, zero, zero
         for b in range(nb):
-            hot = (mag == b + 1)[None]
+            hot = mag == b + 1  # [1, P]
             selx = selx + jnp.where(hot, bx[b], 0)
             sely = sely + jnp.where(hot, by[b], 0)
             selz = selz + jnp.where(hot, bz[b], 0)
@@ -93,16 +105,17 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, out_ref, bx, by, bz, *,
         nx, ny, nz = _madd_t(spec, b3, (selx, sely, selz), (xb, yb))
 
         for b in range(nb):
-            hot = (mag == b + 1)[None]
+            hot = mag == b + 1
             bx[b] = jnp.where(hot, nx, bx[b])
             by[b] = jnp.where(hot, ny, by[b])
             bz[b] = jnp.where(hot, nz, bz[b])
 
     @pl.when(g == steps - 1)
     def _emit():
-        out_ref[0] = bx[...]
-        out_ref[1] = by[...]
-        out_ref[2] = bz[...]
+        for b in range(nb):
+            out_ref[0, b] = bx[b]
+            out_ref[1, b] = by[b]
+            out_ref[2, b] = bz[b]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -114,8 +127,8 @@ def bucket_accumulate(points, digits, c: int = 4, chunks: int = 32,
     Returns bucket pytree leaves [chunks, W, nb, L] (x, y, z) matching the
     XLA path's layout.
     """
-    from .msm import padded_affine
     from .curve import G1
+    from .msm import padded_affine
 
     spec = FQ
     L = spec.n_limbs
@@ -142,14 +155,20 @@ def bucket_accumulate(points, digits, c: int = 4, chunks: int = 32,
     xs_t = arrange_coord(x)
     ys_t = arrange_coord(y)
     # [steps, k, chunks*W] digit planes (chunk-major within a plane)
+    P = chunks * w_count
     mags = mag.reshape(steps, k_inner, chunks, w_count).reshape(
-        steps, k_inner, chunks * w_count
+        steps, k_inner, P
     )
     signs = sign.reshape(steps, k_inner, chunks, w_count).reshape(
-        steps, k_inner, chunks * w_count
+        steps, k_inner, P
     )
 
-    P = chunks * w_count
+    # 0/1 expansion: expand[c, c*W + w] = 1
+    expand = np.zeros((chunks, P), dtype=np.float32)
+    for ci in range(chunks):
+        expand[ci, ci * w_count : (ci + 1) * w_count] = 1.0
+    expand = jnp.asarray(expand)
+
     kernel = functools.partial(
         _kernel, spec=spec, k_inner=k_inner, chunks=chunks,
         w_count=w_count, nb=nb, b3=12, steps=steps,
@@ -166,6 +185,8 @@ def bucket_accumulate(points, digits, c: int = 4, chunks: int = 32,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_inner, P), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunks, P), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, nb, L, P), lambda g: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -175,7 +196,10 @@ def bucket_accumulate(points, digits, c: int = 4, chunks: int = 32,
             pltpu.VMEM((nb, L, P), jnp.int32),
             pltpu.VMEM((nb, L, P), jnp.int32),
         ],
-    )(xs_t, ys_t, mags, signs)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xs_t, ys_t, mags, signs, expand)
 
     # [3, nb, L, P] -> leaves [chunks, W, nb, L]
     def untangle(coord):
