@@ -42,12 +42,18 @@ def main():
     aff = cv.g1_affine_from_ints(pts)
     digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
 
-    c, chunks, k_inner = 4, 256, 8
+    from zcash_gpu_thesis_tpu.config import msm_config
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+
+    cfg = msm_config()
+    c, chunks, k_inner = cfg.c, 16, 8
 
     def run():
-        # msm_host pulls the [W] window sums to the host (forcing full
-        # device sync) and finishes with the python-int doubling ladder.
-        return M.msm_host(G1, aff, digits, c, chunks, k_inner, signed=True)
+        # VMEM-resident bucket kernel on TPU; XLA scan path on CPU.
+        # Host transfer of the window sums forces a full device sync.
+        if cfg.impl == "pallas":
+            return MP.msm_host_pallas(G1, aff, digits, c, chunks, k_inner)
+        return M.msm_host(G1, aff, digits, c, 256, k_inner, signed=True)
 
     run()  # warmup/compile
     times = []

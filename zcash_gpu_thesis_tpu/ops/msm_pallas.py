@@ -86,11 +86,17 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
         sign = sign_ref[0, t : t + 1]  # [1, P]
         # chunk -> (chunk, window) lane broadcast: exact f32 matmul with
         # the one-hot expansion matrix (single 1 per column => exact)
+        # HIGHEST precision: the MXU's default bf16 passes would round
+        # 13-bit limb values; highest-precision f32 keeps them exact
         xb = jnp.dot(
-            x.astype(jnp.float32), expand, preferred_element_type=jnp.float32
+            x.astype(jnp.float32), expand,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
         yb = jnp.dot(
-            y.astype(jnp.float32), expand, preferred_element_type=jnp.float32
+            y.astype(jnp.float32), expand,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
         yb = FT.select(sign != 0, FT.neg(spec, yb), yb)
 
@@ -238,12 +244,38 @@ def window_sums_pallas(group: Group, points, digits, c: int = 4,
     return _tree_map(lambda l: l[0], total)
 
 
+_window_sums_pallas_jit = jax.jit(
+    window_sums_pallas, static_argnums=(0, 3, 4, 5)
+)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def window_sums_affine_pallas(group: Group, points, digits, c: int,
                               chunks: int, k_inner: int):
     return group.to_affine(
         window_sums_pallas(group, points, digits, c, chunks, k_inner)
     )
+
+
+def _projective_to_ints(group: Group, proj):
+    """[W] projective pytree -> host affine int points (inversion in
+    python ints — 65 tiny inversions beat a device Fermat scan)."""
+    import numpy as np
+
+    from ..constants import Q, modinv
+    from . import field as Ff
+
+    xs = Ff.batch_from_limbs(Ff.FQ, np.asarray(proj[0]))
+    ys = Ff.batch_from_limbs(Ff.FQ, np.asarray(proj[1]))
+    zs = Ff.batch_from_limbs(Ff.FQ, np.asarray(proj[2]))
+    out = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zi = modinv(z, Q)
+            out.append((x * zi % Q, y * zi % Q))
+    return out
 
 
 def msm_host_pallas(group: Group, points, digits, c: int = 4,
@@ -253,8 +285,8 @@ def msm_host_pallas(group: Group, points, digits, c: int = 4,
     from ..oracle import curve as O
     from . import curve as cv
 
-    aff = window_sums_affine_pallas(group, points, digits, c, chunks, k_inner)
-    wsums = cv.g1_affine_to_ints(aff)
+    proj = _window_sums_pallas_jit(group, points, digits, c, chunks, k_inner)
+    wsums = _projective_to_ints(group, proj)
     acc = None
     for wsum in reversed(wsums):
         for _ in range(c):
