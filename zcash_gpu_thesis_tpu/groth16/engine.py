@@ -111,11 +111,17 @@ class BlsEngine:
     def msm_g1(self, bases, scalars):
         import jax.numpy as jnp
 
+        from ..config import msm_config
         from ..ops import curve as cv
         from ..ops import msm as M
 
         aff = cv.g1_affine_from_ints(bases)
         digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+        cfg = msm_config()
+        if cfg.impl == "pallas":
+            from ..ops import msm_pallas as MP
+
+            return MP.msm_host_pallas(cv.G1, aff, digits, 4, 16, 8)
         return M.msm_host(cv.G1, aff, digits, 4, self.msm_chunks,
                           self.msm_k_inner, signed=True)
 
@@ -135,13 +141,20 @@ class BlsEngine:
 
         from ..ops import curve as cv
 
-        n = len(scalars)
+        from ..utils.limbs import ints_to_limbs_fast
+
+        n_real = len(scalars)
+        # pad to a power of two so CRS base vectors of similar size share
+        # one compiled scan (scalar 0 -> identity -> sliced off below)
+        n = 1
+        while n < n_real:
+            n *= 2
+        padded = [int(k) % FR_MOD for k in scalars] + [0] * (n - n_real)
+        limbs = ints_to_limbs_fast(padded, 24)  # [n, 24] 12-bit
         nbits = 255
         bits = np.zeros((nbits, n), dtype=np.int32)
-        for i, k in enumerate(scalars):
-            k = int(k) % FR_MOD
-            for b in range(nbits):
-                bits[nbits - 1 - b, i] = (k >> b) & 1
+        for b in range(nbits):
+            bits[nbits - 1 - b] = (limbs[:, b // 12] >> (b % 12)) & 1
         base = from_ints([gen])
 
         def squeeze(leaf):
@@ -162,7 +175,7 @@ class BlsEngine:
             acc, _ = jax.lax.scan(body, group.identity((n,)), bits)
             return group.to_affine(acc)
 
-        return to_ints(run(jnp.asarray(bits)))
+        return to_ints(run(jnp.asarray(bits)))[:n_real]
 
     def fixed_base_g1(self, scalars):
         """[k_i * G1] batched on device (generator's wNAF-table analogue,
