@@ -70,6 +70,32 @@ class Domain:
         self.gen = FR_GENERATOR
         self.gen_inv = modinv(FR_GENERATOR, R)
         self._bitrev = jnp.asarray(_bitrev_indices(n))
+        # jitted entry points: eager dispatch is pathological through the
+        # remote-TPU tunnel (one HTTP round trip per op)
+        import jax
+
+        self._jit_fft = jax.jit(lambda a: self._fft(a, self.omega))
+        self._jit_ifft = jax.jit(
+            lambda a: F.mont_mul(
+                FR, self._fft(a, self.omega_inv),
+                F.mont_const(FR, self.n_inv, (1,)),
+            )
+        )
+        self._jit_coset_fft = jax.jit(
+            lambda a: self._fft(
+                F.mont_mul(FR, a, powers(self.gen, self.n)), self.omega
+            )
+        )
+        self._jit_icoset_fft = jax.jit(
+            lambda a: F.mont_mul(
+                FR,
+                F.mont_mul(
+                    FR, self._fft(a, self.omega_inv),
+                    F.mont_const(FR, self.n_inv, (1,)),
+                ),
+                powers(self.gen_inv, self.n),
+            )
+        )
 
     # -- core transform -----------------------------------------------------
 
@@ -91,12 +117,11 @@ class Domain:
 
     def fft(self, a):
         """Coefficients -> evaluations on the subgroup (domain.rs:83)."""
-        return self._fft(a, self.omega)
+        return self._jit_fft(a)
 
     def ifft(self, a):
         """Evaluations -> coefficients; scales by 1/n (domain.rs:90-103)."""
-        out = self._fft(a, self.omega_inv)
-        return F.mont_mul(FR, out, F.mont_const(FR, self.n_inv, (1,)))
+        return self._jit_ifft(a)
 
     # -- coset machinery (H(x) computation, prover.rs:256-283) --------------
 
@@ -106,11 +131,11 @@ class Domain:
 
     def coset_fft(self, a):
         """Evaluate on the coset gH (domain.rs:120)."""
-        return self.fft(self.distribute_powers(a, self.gen))
+        return self._jit_coset_fft(a)
 
     def icoset_fft(self, a):
         """Inverse of coset_fft (domain.rs:126-132)."""
-        return self.distribute_powers(self.ifft(a), self.gen_inv)
+        return self._jit_icoset_fft(a)
 
     def divide_by_z_on_coset(self, a):
         """Divide evaluations on gH by Z(x) = x^n - 1 (domain.rs:146).
