@@ -128,13 +128,16 @@ class BlsEngine:
     def msm_g2(self, bases, scalars):
         import jax.numpy as jnp
 
+        from ..config import msm_config
         from ..ops import curve as cv
         from ..ops import msm as M
 
         aff = cv.g2_affine_from_ints(bases)
         digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
-        return M.msm_host(cv.G2, aff, digits, 4, self.msm_chunks,
-                          self.msm_k_inner, signed=True)
+        # no G2 Pallas kernel yet: larger XLA config on TPU
+        chunks, k = ((128, 8) if msm_config().impl == "pallas"
+                     else (self.msm_chunks, self.msm_k_inner))
+        return M.msm_host(cv.G2, aff, digits, 4, chunks, k, signed=True)
 
     def _fixed_base(self, group, from_ints, to_ints, gen, scalars):
         import numpy as np
