@@ -75,3 +75,30 @@ def test_divide_by_z_on_coset(rng):
     ez = F.mont_mul(F.FR, et, F.mont_const(F.FR, z_const, (1,)))
     back = d.divide_by_z_on_coset(ez)
     assert d.to_ints(d.icoset_fft(back)) == d.to_ints(t)
+
+
+def test_group_fft_matches_oracle(rng):
+    """FFT over G1 points (domain.rs Group/Point abstraction) vs direct
+    DFT with python-int curve ops."""
+    from zcash_gpu_thesis_tpu.constants import R
+    from zcash_gpu_thesis_tpu.ops import curve as cv
+    from zcash_gpu_thesis_tpu.ops import field as F
+    from zcash_gpu_thesis_tpu.ops.ntt_group import GroupDomain
+    from zcash_gpu_thesis_tpu.oracle import curve as O
+
+    n = 8
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    pts_int = [O.g1_mul(O.G1_GEN, k) for k in ks]
+    d = GroupDomain(n)
+    x, y, _inf = cv.g1_affine_from_ints(pts_int)
+    proj = (x, y, F.one_mont(F.FQ, (n,)))
+    out = d.fft(proj)
+    got = cv.g1_affine_to_ints(cv.G1.to_affine(out))
+    omega = d._d.omega
+    for i in range(n):
+        acc = None
+        for j in range(n):
+            acc = O.g1_add(acc, O.g1_mul(pts_int[j], pow(omega, i * j, R)))
+        assert got[i] == acc
+    back = d.ifft(out)
+    assert cv.g1_affine_to_ints(cv.G1.to_affine(back)) == pts_int

@@ -604,3 +604,41 @@ def librustzcash_sprout_verify(sprout_pvk, proof, rt, h_sig, mac1, mac2,
     except codecs.CodecError:
         return False
     return verify_proof(BlsEngine(), sprout_pvk, p, public_input)
+
+
+# -- benchmark / self-test entry (rustzcash.rs:1370) --------------------------
+
+
+def librustzcash_run_tests(n: int = 4096) -> bool:
+    """MSM self-test + timing, the role of ``librustzcash_run_tests``
+    (rustzcash.rs:1370 -> bellman::multiexp::run_tests, multiexp.rs:538-593).
+
+    The reference's version loads the 10M-pair fixture and races every GPU
+    MSM variant against the CPU Pippenger; here we generate ``n`` pairs with
+    the same XorShift stream (utils.fixtures), run the device MSM, and check
+    it bit-exactly against the python-int oracle.  Returns True on match
+    and prints one timing line per phase, mirroring the reference's output
+    style.
+    """
+    import tempfile
+    import time
+
+    from ..groth16 import BlsEngine
+    from ..oracle import curve as O
+    from ..utils import fixtures
+    from ..utils.limbs import limbs_to_int
+
+    with tempfile.NamedTemporaryFile(suffix=".zkfx") as f:
+        fixtures.generate(f.name, n)
+        x_l, y_l, s_l = fixtures.load(f.name)
+    points = [(limbs_to_int(x), limbs_to_int(y)) for x, y in zip(x_l, y_l)]
+    scalars = [limbs_to_int(s) for s in s_l]
+    e = BlsEngine()
+    t0 = time.time()
+    got = e.msm_g1(points, scalars)
+    t1 = time.time()
+    want = O.g1_msm(points, scalars)
+    t2 = time.time()
+    print(f"run_tests: n={n} device_msm={t1-t0:.3f}s host_oracle={t2-t1:.3f}s "
+          f"match={got == want}")
+    return got == want
