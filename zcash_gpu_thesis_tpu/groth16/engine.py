@@ -108,6 +108,28 @@ class BlsEngine:
     msm_chunks = 8
     msm_k_inner = 4
 
+    @staticmethod
+    def _compact_pad(bases, scalars):
+        """Drop zero-scalar terms and pad to the next power of two.
+
+        The density role of the reference's ``DensityTracker``
+        (multiexp.rs:99-138): the b/aux MSMs see large zero stretches, so
+        compaction cuts both host->device transfer and bucket work.  The
+        power-of-two padding canonicalizes the MSM input shape, so every
+        circuit (and every proof) reuses the same compiled executable per
+        size class — the per-shape XLA compile is the dominant one-time
+        cost on TPU.  Padding uses identity points with zero scalars,
+        which the digit-0 bucket skip ignores bit-exactly.
+        """
+        nz = [i for i, s in enumerate(scalars) if s != 0]
+        if len(nz) != len(scalars):
+            bases = [bases[i] for i in nz]
+            scalars = [scalars[i] for i in nz]
+        n = max(len(bases), 1)
+        n_pad = 1 << (n - 1).bit_length()
+        return (list(bases) + [None] * (n_pad - len(bases)),
+                list(scalars) + [0] * (n_pad - len(scalars)))
+
     def msm_g1(self, bases, scalars):
         import jax.numpy as jnp
 
@@ -115,6 +137,7 @@ class BlsEngine:
         from ..ops import curve as cv
         from ..ops import msm as M
 
+        bases, scalars = self._compact_pad(bases, scalars)
         aff = cv.g1_affine_from_ints(bases)
         digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
         cfg = msm_config()
@@ -132,6 +155,7 @@ class BlsEngine:
         from ..ops import curve as cv
         from ..ops import msm as M
 
+        bases, scalars = self._compact_pad(bases, scalars)
         aff = cv.g2_affine_from_ints(bases)
         digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
         # no G2 Pallas kernel yet: larger XLA config on TPU

@@ -13,11 +13,24 @@ reference.
 
 from __future__ import annotations
 
+import os
 import random
+import time
 from typing import Optional
 
 from .params import Parameters, Proof
 from .r1cs import ConstraintSystem, LinearCombination, SynthesisError, Variable
+
+# Reference prover prints FFT/exp phase timings (prover.rs:283,357);
+# gate ours behind an env flag to keep library output clean by default.
+_TIMING = os.environ.get("ZKTPU_PROVER_TIMING", "") not in ("", "0")
+
+
+def _t(label, t0):
+    if _TIMING:
+        print(f"prover: {label} took {time.perf_counter() - t0:.3f}s",
+              flush=True)
+    return time.perf_counter()
 
 
 class ProvingAssignment(ConstraintSystem):
@@ -58,8 +71,10 @@ class ProvingAssignment(ConstraintSystem):
 def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
     """create_proof (prover.rs:205-364) with explicit blinding r, s."""
     p = engine.r
+    t0 = time.perf_counter()
     prover = ProvingAssignment(p)
     circuit.synthesize(prover)
+    t0 = _t("synthesis", t0)
 
     # Input consistency constraints (prover.rs:228-234).
     for i, v in enumerate(prover.input_assignment):
@@ -79,16 +94,22 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         m *= 2
     domain = engine.domain(m)
     h_coeffs = domain.h_poly(prover.a, prover.b, prover.c)
+    t0 = _t("fft (h poly)", t0)
 
     # The 8 MSMs (prover.rs:289-318) — dense bases, zero scalars skipped
     # by the MSM's digit-0 path instead of DensityTracker compaction.
     n_in = params.num_inputs
     assignment = prover.input_assignment + prover.aux_assignment
     h = engine.msm_g1(params.h, h_coeffs)
+    t0 = _t("msm h", t0)
     l = engine.msm_g1(params.l, prover.aux_assignment)
+    t0 = _t("msm l", t0)
     a_all = engine.msm_g1(params.a, assignment)
+    t0 = _t("msm a", t0)
     b1_all = engine.msm_g1(params.b_g1, assignment)
+    t0 = _t("msm b_g1", t0)
     b2_all = engine.msm_g2(params.b_g2, assignment)
+    t0 = _t("msm b_g2", t0)
 
     # Blinding algebra (prover.rs:326-354).
     g_a = engine.g1_add(

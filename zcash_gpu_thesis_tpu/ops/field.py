@@ -535,8 +535,43 @@ def batch_inv(spec: FieldSpec, a):
 # ---------------------------------------------------------------------------
 
 
+# Bulk-conversion threshold: below it the per-int python loop wins (no
+# device dispatch); above it the vectorized byte-repack + one device
+# Montgomery multiply is ~100x faster (131k Sapling-sized vectors).
+_BULK_N = 64
+
+_BULK_JIT = {}
+
+
+def _bulk_fns(spec: FieldSpec):
+    import jax
+
+    fns = _BULK_JIT.get(spec.name)
+    if fns is None:
+        fns = (
+            jax.jit(lambda a: canon(spec, to_mont(spec, a), weak=True)),
+            jax.jit(lambda a: from_mont(spec, a)),
+            jax.jit(lambda a: canon(spec, a)),
+        )
+        _BULK_JIT[spec.name] = fns
+    return fns
+
+
 def batch_to_limbs(spec: FieldSpec, xs, mont: bool = True) -> np.ndarray:
-    """Host helper: python ints -> [n, L] canonical limbs (Montgomery form)."""
+    """Host helper: python ints -> [n, L] canonical limbs (Montgomery form).
+
+    Large batches go through the vectorized byte repack
+    (utils.limbs.ints_to_limbs_fast) with the R-multiply done on device —
+    bit-identical to the per-int path (canonical digits of x*R mod p)."""
+    if len(xs) >= _BULK_N:
+        from ..utils.limbs import ints_to_limbs_fast
+
+        arr = ints_to_limbs_fast([int(x) % spec.modulus for x in xs],
+                                 spec.n_limbs)
+        if not mont:
+            return arr
+        to_mont_fn, _, _ = _bulk_fns(spec)
+        return np.asarray(to_mont_fn(arr))
     out = np.zeros((len(xs), spec.n_limbs), dtype=np.int32)
     for i, x in enumerate(xs):
         v = spec.to_mont_int(int(x)) if mont else int(x) % spec.modulus
@@ -546,9 +581,19 @@ def batch_to_limbs(spec: FieldSpec, xs, mont: bool = True) -> np.ndarray:
 
 def batch_from_limbs(spec: FieldSpec, a, mont: bool = True) -> list:
     """Host helper: [..., L] lazy limbs -> python ints (out of Montgomery
-    form if mont=True).  Reduction is done host-side with python ints."""
+    form if mont=True).
+
+    Large batches canonicalize on device (exact boundary ops) and
+    recompose with the vectorized byte repack; same values as the per-row
+    python reduction."""
     a = np.asarray(a)
     flat = a.reshape(-1, spec.n_limbs)
+    if flat.shape[0] >= _BULK_N:
+        from ..utils.limbs import limbs_to_ints_fast
+
+        _, from_mont_fn, canon_fn = _bulk_fns(spec)
+        digits = (from_mont_fn if mont else canon_fn)(flat)
+        return limbs_to_ints_fast(np.asarray(digits))
     out = []
     for row in flat:
         v = limbs_to_int(row) % spec.modulus
