@@ -142,3 +142,23 @@ def test_g1_msm_pallas_interpret(g1pts):
     with pltpu.force_tpu_interpret_mode():
         got = MP.msm_host_pallas(C.G1, aff, sd, 4, 4, 2)
     assert got == O.g1_msm(g1pts, scalars)
+
+
+def test_g2_msm_pallas_interpret():
+    """The field-generic VMEM bucket kernel over Fq2/G2 (interpret mode)
+    matches the oracle."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+
+    rng = random.Random(80)
+    base = O.random_g2_points(rng, 6)
+    pts = [base[i % 6] for i in range(24)]
+    scalars = [rng.randrange(R) for _ in pts]
+    scalars[3] = 0
+    aff = C.g2_affine_from_ints(pts)
+    sd = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+    with pltpu.force_tpu_interpret_mode():
+        got = MP.msm_host_pallas(C.G2, aff, sd, 4, 4, 2)
+    assert got == O.g2_msm(pts, scalars)

@@ -158,10 +158,12 @@ class BlsEngine:
         bases, scalars = self._compact_pad(bases, scalars)
         aff = cv.g2_affine_from_ints(bases)
         digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
-        # no G2 Pallas kernel yet: larger XLA config on TPU
-        chunks, k = ((128, 8) if msm_config().impl == "pallas"
-                     else (self.msm_chunks, self.msm_k_inner))
-        return M.msm_host(cv.G2, aff, digits, 4, chunks, k, signed=True)
+        if msm_config().impl == "pallas":
+            from ..ops import msm_pallas as MP
+
+            return MP.msm_host_pallas(cv.G2, aff, digits, 4, 16, 8)
+        return M.msm_host(cv.G2, aff, digits, 4, self.msm_chunks,
+                          self.msm_k_inner, signed=True)
 
     def _fixed_base(self, group, from_ints, to_ints, gen, scalars):
         import numpy as np

@@ -1,21 +1,28 @@
-"""Pallas TPU kernel for the Pippenger bucket accumulation.
+"""Pallas TPU kernels for the Pippenger bucket accumulation (G1 and G2).
 
 The XLA-level MSM (ops.msm) streams the bucket state through HBM on every
-scan step — the measured bottleneck.  This kernel keeps the entire bucket
-state ``[nb, 3, L, chunks*W]`` resident in VMEM scratch across the whole
-point stream (the role the reference's per-thread private bucket registers
-played, bls12-381.cl:2819-2827): points are DMA-pipelined in by the grid,
-each grid step folds `k_inner` point batches into the buckets with the
+scan step — the measured bottleneck.  These kernels keep the entire bucket
+state resident in VMEM scratch across the whole point stream (the role the
+reference's per-thread private bucket registers played,
+bls12-381.cl:2819-2827): points are DMA-pipelined in by the grid, each
+grid step folds `k_inner` point batches into the buckets with the
 transposed lazy-field arithmetic (ops.field_t), and the state is written
 out exactly once at the end.
+
+Field genericity: the kernel body is written against a tiny adapter
+(`_Ft` for Fq, `_Ft2` for Fq2/Karatsuba) whose elements are single
+``[nc*L, lanes]`` arrays — Fq2 stacks its two components along the
+(sublane) limb axis, so the same kernel text serves G1 and G2 with the
+component split hidden inside the adapter.
 
 Mosaic constraints shape the design: no lane reshapes (the chunk->lane
 broadcast is an exact f32 matmul against a 0/1 expansion matrix on the
 MXU), every intermediate 2D, constants as scalars only.
 
-Signed 4-bit digits (8 buckets) keep the state at ~7 MB for 32 chunks x
-65 windows.  Digit 0 skips (padding and zero windows).  The suffix sums /
-chunk fold / final ladder reuse the XLA/host path in ops.msm.
+Signed 4-bit digits (8 buckets) keep the state small (G1 ~3 MB, G2 ~7 MB
+for 16 chunks x 65 windows).  Digit 0 skips (padding and zero windows).
+The suffix sums / chunk fold / final ladder reuse the XLA/host path in
+ops.msm.
 """
 
 from __future__ import annotations
@@ -36,51 +43,157 @@ from .curve import Group
 FQ = F.FQ
 
 
-def _madd_t(spec, b3: int, acc, aff):
+class _Ft:
+    """Fq adapter over transposed [L, lanes] arrays (G1 coordinates)."""
+
+    nc = 1
+
+    def __init__(self, spec, b3: int):
+        self.spec = spec
+        self.b3 = b3
+
+    def mul(self, a, b):
+        return FT.mont_mul(self.spec, a, b)
+
+    def add(self, a, b):
+        return FT.add(self.spec, a, b)
+
+    def sub(self, a, b):
+        return FT.sub(self.spec, a, b)
+
+    def neg(self, a):
+        return FT.neg(self.spec, a)
+
+    def double(self, a):
+        return FT.double(self.spec, a)
+
+    def mul_b3(self, a):
+        return FT.mul_small(self.spec, a, self.b3)
+
+    def one_rows(self, lanes: int):
+        digits = int_to_limbs(self.spec.r, self.spec.n_limbs)
+        return jnp.concatenate(
+            [jnp.full((1, lanes), int(d), jnp.int32) for d in digits],
+            axis=0,
+        )
+
+
+class _Ft2:
+    """Fq2 adapter: an element is ``[2L, lanes]`` with the two components
+    stacked on the limb axis.  Multiplication is 3-mul Karatsuba with
+    u^2 = -1 (fq2.rs mul_assign); b3 = 12(u+1) on the twist
+    (k(u+1)a = (k(a0-a1), k(a0+a1)), ops/fq2.py mul_small_nonresidue)."""
+
+    nc = 2
+
+    def __init__(self, spec, b3: int):
+        self.spec = spec
+        self.b3 = b3
+        self.L = spec.n_limbs
+
+    def _s(self, v):
+        return v[: self.L], v[self.L :]
+
+    @staticmethod
+    def _j(c0, c1):
+        return jnp.concatenate([c0, c1], axis=0)
+
+    def _map1(self, fn, a):
+        a0, a1 = self._s(a)
+        return self._j(fn(a0), fn(a1))
+
+    def _map2(self, fn, a, b):
+        a0, a1 = self._s(a)
+        b0, b1 = self._s(b)
+        return self._j(fn(a0, b0), fn(a1, b1))
+
+    def add(self, a, b):
+        return self._map2(lambda x, y: FT.add(self.spec, x, y), a, b)
+
+    def sub(self, a, b):
+        return self._map2(lambda x, y: FT.sub(self.spec, x, y), a, b)
+
+    def neg(self, a):
+        return self._map1(lambda x: FT.neg(self.spec, x), a)
+
+    def double(self, a):
+        return self._map1(lambda x: FT.double(self.spec, x), a)
+
+    def mul(self, a, b):
+        sp = self.spec
+        a0, a1 = self._s(a)
+        b0, b1 = self._s(b)
+        t0 = FT.mont_mul(sp, a0, b0)
+        t1 = FT.mont_mul(sp, a1, b1)
+        t2 = FT.mont_mul(sp, FT.add(sp, a0, a1), FT.add(sp, b0, b1))
+        return self._j(
+            FT.sub(sp, t0, t1), FT.sub(sp, FT.sub(sp, t2, t0), t1)
+        )
+
+    def mul_b3(self, a):
+        sp = self.spec
+        a0, a1 = self._s(a)
+        return self._j(
+            FT.mul_small(sp, FT.sub(sp, a0, a1), self.b3),
+            FT.mul_small(sp, FT.add(sp, a0, a1), self.b3),
+        )
+
+    def one_rows(self, lanes: int):
+        digits = int_to_limbs(self.spec.r, self.spec.n_limbs)
+        one = jnp.concatenate(
+            [jnp.full((1, lanes), int(d), jnp.int32) for d in digits],
+            axis=0,
+        )
+        return self._j(one, jnp.zeros_like(one))
+
+
+def _adapter(group: Group):
+    if group.f.name == "g2":
+        return _Ft2(FQ, 12)
+    return _Ft(FQ, 12)
+
+
+def _madd_t(f, acc, aff):
     """Transposed complete mixed addition (RCB Algorithm 8, a=0), field
-    elements [L, lanes].  The P2-at-infinity case is excluded by digit-0
-    skipping."""
+    elements [nc*L, lanes].  The P2-at-infinity case is excluded by
+    digit-0 skipping."""
     x1, y1, z1 = acc
     x2, y2 = aff
-    t0 = FT.mont_mul(spec, x1, x2)
-    t1 = FT.mont_mul(spec, y1, y2)
-    t3 = FT.mont_mul(spec, FT.add(spec, x2, y2), FT.add(spec, x1, y1))
-    t3 = FT.sub(spec, t3, FT.add(spec, t0, t1))
-    t4 = FT.add(spec, FT.mont_mul(spec, y2, z1), y1)
-    y3 = FT.add(spec, FT.mont_mul(spec, x2, z1), x1)
-    t0 = FT.add(spec, FT.double(spec, t0), t0)
-    t2 = FT.mul_small(spec, z1, b3)
-    z3 = FT.add(spec, t1, t2)
-    t1 = FT.sub(spec, t1, t2)
-    y3 = FT.mul_small(spec, y3, b3)
-    x3 = FT.sub(spec, FT.mont_mul(spec, t3, t1), FT.mont_mul(spec, t4, y3))
-    y3 = FT.add(spec, FT.mont_mul(spec, t1, z3), FT.mont_mul(spec, y3, t0))
-    z3 = FT.add(spec, FT.mont_mul(spec, z3, t4), FT.mont_mul(spec, t0, t3))
+    t0 = f.mul(x1, x2)
+    t1 = f.mul(y1, y2)
+    t3 = f.mul(f.add(x2, y2), f.add(x1, y1))
+    t3 = f.sub(t3, f.add(t0, t1))
+    t4 = f.add(f.mul(y2, z1), y1)
+    y3 = f.add(f.mul(x2, z1), x1)
+    t0 = f.add(f.double(t0), t0)
+    t2 = f.mul_b3(z1)
+    z3 = f.add(t1, t2)
+    t1 = f.sub(t1, t2)
+    y3 = f.mul_b3(y3)
+    x3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
+    y3 = f.add(f.mul(t1, z3), f.mul(y3, t0))
+    z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
     return (x3, y3, z3)
 
 
 def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
-            bx, by, bz, *, spec, k_inner, chunks, w_count, nb, b3, steps):
+            bx, by, bz, *, f, k_inner, chunks, w_count, nb, steps):
     g = pl.program_id(0)
-    L = spec.n_limbs
+    rows = f.nc * FQ.n_limbs
     P = chunks * w_count
 
     @pl.when(g == 0)
     def _init():
-        one_digits = int_to_limbs(spec.r, L)
-        one = jnp.concatenate(
-            [jnp.full((1, P), int(one_digits[k]), jnp.int32) for k in range(L)],
-            axis=0,
-        )
+        one = f.one_rows(P)
         for b in range(nb):
-            bx[b] = jnp.zeros((L, P), jnp.int32)
+            bx[b] = jnp.zeros((rows, P), jnp.int32)
             by[b] = one
-            bz[b] = jnp.zeros((L, P), jnp.int32)
+            bz[b] = jnp.zeros((rows, P), jnp.int32)
 
     expand = expand_ref[...]  # [chunks, P] f32 0/1 block-expansion matrix
 
     for t in range(k_inner):
-        x = xs_ref[0, :, t * chunks : (t + 1) * chunks]  # [L, chunks]
+        x = xs_ref[0, :, t * chunks : (t + 1) * chunks]  # [rows, chunks]
         y = ys_ref[0, :, t * chunks : (t + 1) * chunks]
         mag = mag_ref[0, t : t + 1]    # [1, P]
         sign = sign_ref[0, t : t + 1]  # [1, P]
@@ -98,9 +211,9 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
-        yb = FT.select(sign != 0, FT.neg(spec, yb), yb)
+        yb = FT.select(sign != 0, f.neg(yb), yb)
 
-        zero = jnp.zeros((L, P), jnp.int32)
+        zero = jnp.zeros((rows, P), jnp.int32)
         selx, sely, selz = zero, zero, zero
         for b in range(nb):
             hot = mag == b + 1  # [1, P]
@@ -108,7 +221,7 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
             sely = sely + jnp.where(hot, by[b], 0)
             selz = selz + jnp.where(hot, bz[b], 0)
 
-        nx, ny, nz = _madd_t(spec, b3, (selx, sely, selz), (xb, yb))
+        nx, ny, nz = _madd_t(f, (selx, sely, selz), (xb, yb))
 
         for b in range(nb):
             hot = mag == b + 1
@@ -124,38 +237,46 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
             out_ref[2, b] = bz[b]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def bucket_accumulate(points, digits, c: int = 4, chunks: int = 32,
-                      k_inner: int = 4):
+def _coord_rows(leaf_or_pair):
+    """Affine coordinate pytree leaf(s) [n, L] -> joined [n, nc*L]."""
+    if isinstance(leaf_or_pair, tuple):
+        return jnp.concatenate(leaf_or_pair, axis=-1)
+    return leaf_or_pair
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def bucket_accumulate(group: Group, points, digits, c: int = 4,
+                      chunks: int = 32, k_inner: int = 4):
     """Run the VMEM bucket kernel over signed digits.
 
-    points: G1 affine pytree (x, y, inf) [n, L]; digits: SIGNED [n, W].
-    Returns bucket pytree leaves [chunks, W, nb, L] (x, y, z) matching the
-    XLA path's layout.
+    points: affine pytree (x, y, inf) with [n, L] leaves (G1) or
+    ((c0, c1), ...) pairs (G2); digits: SIGNED [n, W].  Returns bucket
+    pytree leaves [chunks, W, nb, L] matching the XLA path's layout.
     """
-    from .curve import G1
     from .msm import padded_affine
 
-    spec = FQ
-    L = spec.n_limbs
+    f = _adapter(group)
+    L = FQ.n_limbs
+    rows = f.nc * L
     n = digits.shape[0]
     w_count = digits.shape[1]
     nb = 1 << (c - 1)
     grid = chunks * k_inner
     steps = -(-n // grid)
     n_pad = steps * grid
-    points = padded_affine(G1, points, n_pad)
+    points = padded_affine(group, points, n_pad)
     digits = jnp.pad(digits, ((0, n_pad - n), (0, 0)))
     x, y, inf = points
+    x, y = _coord_rows(x), _coord_rows(y)
 
     # digit 0 for padded/infinity points
     digits = jnp.where(inf[:, None], 0, digits)
     mag = jnp.abs(digits)
     sign = (digits < 0).astype(jnp.int32)
 
-    # [steps, L, k*chunks] transposed coordinate streams
+    # [steps, rows, k*chunks] transposed coordinate streams
     def arrange_coord(leaf):
-        a = leaf.reshape(steps, k_inner * chunks, L)
+        a = leaf.reshape(steps, k_inner * chunks, rows)
         return jnp.transpose(a, (0, 2, 1))
 
     xs_t = arrange_coord(x)
@@ -176,16 +297,16 @@ def bucket_accumulate(points, digits, c: int = 4, chunks: int = 32,
     expand = jnp.asarray(expand)
 
     kernel = functools.partial(
-        _kernel, spec=spec, k_inner=k_inner, chunks=chunks,
-        w_count=w_count, nb=nb, b3=12, steps=steps,
+        _kernel, f=f, k_inner=k_inner, chunks=chunks,
+        w_count=w_count, nb=nb, steps=steps,
     )
     out = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, L, k_inner * chunks), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, rows, k_inner * chunks), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, k_inner * chunks), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, rows, k_inner * chunks), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_inner, P), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -194,33 +315,40 @@ def bucket_accumulate(points, digits, c: int = 4, chunks: int = 32,
             pl.BlockSpec((chunks, P), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, nb, L, P), lambda g: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((3, nb, rows, P), lambda g: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, nb, L, P), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((3, nb, rows, P), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((nb, L, P), jnp.int32),
-            pltpu.VMEM((nb, L, P), jnp.int32),
-            pltpu.VMEM((nb, L, P), jnp.int32),
+            pltpu.VMEM((nb, rows, P), jnp.int32),
+            pltpu.VMEM((nb, rows, P), jnp.int32),
+            pltpu.VMEM((nb, rows, P), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(xs_t, ys_t, mags, signs, expand)
 
-    # [3, nb, L, P] -> leaves [chunks, W, nb, L]
+    # [3, nb, rows, P] -> coordinate pytrees [chunks, W, nb, L]
     def untangle(coord):
-        a = out[coord].reshape(nb, L, chunks, w_count)
-        return jnp.transpose(a, (2, 3, 0, 1))
+        def comp(c0):
+            a = out[coord, :, c0 * L : (c0 + 1) * L].reshape(
+                nb, L, chunks, w_count
+            )
+            return jnp.transpose(a, (2, 3, 0, 1))
+
+        if f.nc == 1:
+            return comp(0)
+        return (comp(0), comp(1))
 
     return (untangle(0), untangle(1), untangle(2))
 
 
 def window_sums_pallas(group: Group, points, digits, c: int = 4,
                        chunks: int = 32, k_inner: int = 4):
-    """[W] projective window sums via the VMEM bucket kernel (G1 only)."""
+    """[W] projective window sums via the VMEM bucket kernel."""
     from .msm import _tree_map
 
-    buckets = bucket_accumulate(points, digits, c, chunks, k_inner)
+    buckets = bucket_accumulate(group, points, digits, c, chunks, k_inner)
     w_count = digits.shape[1]
     nb = 1 << (c - 1)
 
@@ -265,31 +393,48 @@ def _projective_to_ints(group: Group, proj):
     from ..constants import Q, modinv
     from . import field as Ff
 
-    xs = Ff.batch_from_limbs(Ff.FQ, np.asarray(proj[0]))
-    ys = Ff.batch_from_limbs(Ff.FQ, np.asarray(proj[1]))
-    zs = Ff.batch_from_limbs(Ff.FQ, np.asarray(proj[2]))
+    def leaf_ints(leaf):
+        if isinstance(leaf, tuple):
+            return list(zip(*(leaf_ints(l) for l in leaf)))
+        return Ff.batch_from_limbs(Ff.FQ, np.asarray(leaf))
+
+    xs = leaf_ints(proj[0])
+    ys = leaf_ints(proj[1])
+    zs = leaf_ints(proj[2])
+    g2 = group.f.name == "g2"
     out = []
     for x, y, z in zip(xs, ys, zs):
-        if z == 0:
-            out.append(None)
+        if g2:
+            from ..oracle import curve as O
+
+            if z == (0, 0):
+                out.append(None)
+            else:
+                zi = O.f2_inv(z)
+                out.append((O.f2_mul(x, zi), O.f2_mul(y, zi)))
         else:
-            zi = modinv(z, Q)
-            out.append((x * zi % Q, y * zi % Q))
+            if z == 0:
+                out.append(None)
+            else:
+                zi = modinv(z, Q)
+                out.append((x * zi % Q, y * zi % Q))
     return out
 
 
 def msm_host_pallas(group: Group, points, digits, c: int = 4,
                     chunks: int = 32, k_inner: int = 4):
     """Full MSM: VMEM bucket kernel + host doubling-ladder combine.
-    `digits` must be SIGNED (ops.msm.recode_signed)."""
+    `digits` must be SIGNED (ops.msm.recode_signed).  Works for G1 and
+    G2 (the kernel is field-generic via the adapters)."""
     from ..oracle import curve as O
-    from . import curve as cv
 
     proj = _window_sums_pallas_jit(group, points, digits, c, chunks, k_inner)
     wsums = _projective_to_ints(group, proj)
+    g2 = group.f.name == "g2"
+    add = O.g2_add if g2 else O.g1_add
     acc = None
     for wsum in reversed(wsums):
         for _ in range(c):
-            acc = O.g1_add(acc, acc)
-        acc = O.g1_add(acc, wsum)
+            acc = add(acc, acc)
+        acc = add(acc, wsum)
     return acc
