@@ -107,6 +107,30 @@ class BlsEngine:
     # CPU test backend; the TPU bench overrides via msm_host directly.
     msm_chunks = 8
     msm_k_inner = 4
+    _cache_threshold = 4096  # below this, convert per call (tests, toys)
+
+    # Device-form CRS base cache: id(bases list) -> (bases, affine pytree,
+    # n_pad).  The proving parameters are long-lived (installed once via
+    # librustzcash_init_zksnark_params), while msm_g1/msm_g2 are called
+    # once per proof — caching the converted, padded, uploaded arrays
+    # removes the dominant host->device transfer from every proof after
+    # the first.  Strong refs to the lists guard against id() reuse.
+    _base_cache: dict = {}
+
+    def _cached_affine(self, bases, from_ints):
+        key = (id(bases), from_ints.__name__)
+        hit = BlsEngine._base_cache.get(key)
+        if hit is not None and hit[0] is bases:
+            return hit[1], hit[2]
+        n = max(len(bases), 1)
+        n_pad = 1 << (n - 1).bit_length()
+        aff = from_ints(list(bases) + [None] * (n_pad - len(bases)))
+        BlsEngine._base_cache[key] = (bases, aff, n_pad)
+        return aff, n_pad
+
+    @classmethod
+    def clear_base_cache(cls):
+        cls._base_cache.clear()
 
     @staticmethod
     def _compact_pad(bases, scalars):
@@ -130,40 +154,37 @@ class BlsEngine:
         return (list(bases) + [None] * (n_pad - len(bases)),
                 list(scalars) + [0] * (n_pad - len(scalars)))
 
-    def msm_g1(self, bases, scalars):
+    def _msm(self, group_name, bases, scalars):
         import jax.numpy as jnp
 
         from ..config import msm_config
         from ..ops import curve as cv
         from ..ops import msm as M
 
-        bases, scalars = self._compact_pad(bases, scalars)
-        aff = cv.g1_affine_from_ints(bases)
-        digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
-        cfg = msm_config()
-        if cfg.impl == "pallas":
-            from ..ops import msm_pallas as MP
-
-            return MP.msm_host_pallas(cv.G1, aff, digits, 4, 16, 8)
-        return M.msm_host(cv.G1, aff, digits, 4, self.msm_chunks,
-                          self.msm_k_inner, signed=True)
-
-    def msm_g2(self, bases, scalars):
-        import jax.numpy as jnp
-
-        from ..config import msm_config
-        from ..ops import curve as cv
-        from ..ops import msm as M
-
-        bases, scalars = self._compact_pad(bases, scalars)
-        aff = cv.g2_affine_from_ints(bases)
+        from_ints = (cv.g1_affine_from_ints if group_name == "g1"
+                     else cv.g2_affine_from_ints)
+        group = cv.G1 if group_name == "g1" else cv.G2
+        if len(bases) >= self._cache_threshold:
+            # big CRS vector: reuse the cached device arrays; density is
+            # handled by the digit-0 bucket skip alone
+            aff, n_pad = self._cached_affine(bases, from_ints)
+            scalars = list(scalars) + [0] * (n_pad - len(scalars))
+        else:
+            bases, scalars = self._compact_pad(bases, scalars)
+            aff = from_ints(bases)
         digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
         if msm_config().impl == "pallas":
             from ..ops import msm_pallas as MP
 
-            return MP.msm_host_pallas(cv.G2, aff, digits, 4, 16, 8)
-        return M.msm_host(cv.G2, aff, digits, 4, self.msm_chunks,
+            return MP.msm_host_pallas(group, aff, digits, 4, 16, 8)
+        return M.msm_host(group, aff, digits, 4, self.msm_chunks,
                           self.msm_k_inner, signed=True)
+
+    def msm_g1(self, bases, scalars):
+        return self._msm("g1", bases, scalars)
+
+    def msm_g2(self, bases, scalars):
+        return self._msm("g2", bases, scalars)
 
     def _fixed_base(self, group, from_ints, to_ints, gen, scalars):
         import numpy as np
