@@ -642,3 +642,16 @@ def librustzcash_run_tests(n: int = 4096) -> bool:
     print(f"run_tests: n={n} device_msm={t1-t0:.3f}s host_oracle={t2-t1:.3f}s "
           f"match={got == want}")
     return got == want
+
+
+def librustzcash_sapling_proving_ctx_free(ctx) -> None:
+    """Drop a proving context (rustzcash.rs ctx_free).  Python GC owns the
+    object; this clears the accumulated bsk/bvk state so reuse after free
+    fails loudly."""
+    ctx.bsk = None
+    ctx.bvk = None
+
+
+def librustzcash_sapling_verification_ctx_free(ctx) -> None:
+    """Drop a verification context (rustzcash.rs ctx_free)."""
+    ctx.bvk = None
