@@ -74,20 +74,34 @@ class _Globals:
 _G = _Globals()
 
 
+def _load_params_checked(path, expected_hash):
+    """Read a params file through the blake2b HashReader and (optionally)
+    check the stream digest, as rustzcash.rs:220-263 does for the
+    sapling-spend/output.params files."""
+    from ..protocol.hashreader import HashReader
+
+    with open(path, "rb") as f:
+        hr = HashReader(f)
+        data = hr.read()
+    if expected_hash is not None and hr.into_hash() != expected_hash:
+        raise ValueError(f"params file hash mismatch: {path}")
+    return codecs.params_from_bytes(data)
+
+
 def librustzcash_init_zksnark_params(spend_params, output_params,
-                                     sprout_vk=None):
+                                     sprout_vk=None, spend_hash=None,
+                                     output_hash=None):
     """Install proving parameters (rustzcash.rs:131-283).  Takes
     ``groth16.Parameters`` objects (or file paths to our codec format)
-    instead of the bellman param files."""
+    instead of the bellman param files; paths are read through the
+    blake2b HashReader with optional expected-digest checks."""
     from ..groth16 import BlsEngine
 
     e = BlsEngine()
     if isinstance(spend_params, (str, bytes)) and os.path.exists(spend_params):
-        with open(spend_params, "rb") as f:
-            spend_params = codecs.params_from_bytes(f.read())
+        spend_params = _load_params_checked(spend_params, spend_hash)
     if isinstance(output_params, (str, bytes)) and os.path.exists(output_params):
-        with open(output_params, "rb") as f:
-            output_params = codecs.params_from_bytes(f.read())
+        output_params = _load_params_checked(output_params, output_hash)
     _G.spend_params = spend_params
     _G.output_params = output_params
     _G.spend_vk = prepare_verifying_key(e, spend_params.vk)
