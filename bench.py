@@ -27,18 +27,15 @@ PROVER_BASELINE_S = 2.0
 def bench_prover(scale: int = 1):
     """Replay the Sapling Spend proving workload shapes — the reference's
     ``test_proof()`` dump-replay bench (prover.rs:367-868): the H(x) FFT
-    chain on the 2^17 domain plus the prover's 8 MSMs (h/l/a_inputs/
-    a_aux/b_g1_inputs/b_g1_aux/b_g2_inputs/b_g2_aux) at the dumped sizes,
-    on synthetic data of the same shape."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    chain on the 2^17 domain plus the prover's MSMs (h/l/a/b_g1/b_g2) at
+    the dumped sizes, on synthetic data of the same shape.
 
-    from zcash_gpu_thesis_tpu.config import msm_config
-    from zcash_gpu_thesis_tpu.ops import curve as cv
-    from zcash_gpu_thesis_tpu.ops import field as F
-    from zcash_gpu_thesis_tpu.ops import msm as M
-    from zcash_gpu_thesis_tpu.ops.ntt import Domain
+    Runs through the production engine path (BlsEngine.msm_*/domain), so
+    the canonical pow2-padded executables and the device-form CRS cache
+    are exactly what a real proof uses; the timed region covers scalar
+    conversion + device compute + window readback, matching the
+    reference's in-memory replay."""
+    from zcash_gpu_thesis_tpu.groth16 import BlsEngine
     from zcash_gpu_thesis_tpu.oracle import curve as O
 
     rng = random.Random(0x5DBE6259)
@@ -46,78 +43,41 @@ def bench_prover(scale: int = 1):
     # CPU smoke run of the same code path
     n_constraints = 98785 // scale
     sizes_g1 = {"h": 131071 // scale, "l": 98638 // scale,
-                "a_inp": 8, "a_aux": 85382 // scale,
-                "b_g1": 61300 // scale}
+                "a": 85390 // scale, "b_g1": 61300 // scale}
     n_g2 = 61300 // scale
 
-    d = Domain(1 << 17 if scale == 1
-               else 1 << max(n_constraints.bit_length(), 4))
+    e = BlsEngine()
+    d = e.domain(1 << 17 if scale == 1
+                 else 1 << max(n_constraints.bit_length(), 4))
 
-    def rand_fr(n):
-        limbs = np.zeros((d.n, F.FR.n_limbs), np.int32)
-        vals = F.batch_to_limbs(
-            F.FR, [rng.randrange(O.R) for _ in range(n)])
-        limbs[:n] = vals
-        return jnp.asarray(limbs)
-
-    a_ev, b_ev, c_ev = rand_fr(n_constraints), rand_fr(n_constraints), \
-        rand_fr(n_constraints)
+    a_vals = [rng.randrange(O.R) for _ in range(n_constraints)]
+    b_vals = [rng.randrange(O.R) for _ in range(n_constraints)]
+    c_vals = [rng.randrange(O.R) for _ in range(n_constraints)]
 
     base = O.random_g1_points(rng, 64)
-
-    def g1_points(n):
-        aff = cv.g1_affine_from_ints([base[i % 64] for i in range(n)])
-        return aff
-
-    def digits(n):
-        return jnp.asarray(M.recode_signed(M.digits_from_ints(
-            [rng.randrange(O.R) for _ in range(n)], 4), 4))
-
-    msms = {k: (g1_points(n), digits(n)) for k, n in sizes_g1.items()}
     base2 = O.random_g2_points(rng, 8)
-    g2_aff = cv.g2_affine_from_ints([base2[i % 8] for i in range(n_g2)])
-    g2_dig = digits(n_g2)
+    g1_bases = {k: [base[i % 64] for i in range(n)]
+                for k, n in sizes_g1.items()}
+    g2_bases = [base2[i % 8] for i in range(n_g2)]
 
-    cfg = msm_config()
-
-    def h_poly():
-        a = d.coset_fft(d.ifft(a_ev))
-        b = d.coset_fft(d.ifft(b_ev))
-        c = d.coset_fft(d.ifft(c_ev))
-        ab = F.mont_mul(F.FR, a, b)
-        h = F.sub(F.FR, ab, c)
-        h = d.divide_by_z_on_coset(h)
-        return d.icoset_fft(h)
+    def scalars(n):
+        return [rng.randrange(O.R) for _ in range(n)]
 
     def run_msms():
-        outs = []
-        for k, (aff, dig) in msms.items():
-            if cfg.impl == "pallas":
-                from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
-
-                outs.append(MP._window_sums_pallas_jit(
-                    cv.G1, aff, dig, 4, 16, 8))
-            else:
-                outs.append(M.window_sums(cv.G1, aff, dig, 4, 64, 8,
-                                          signed=True))
-        g2_chunks = 128 if cfg.impl == "pallas" else 16
-        outs.append(M.window_sums(cv.G2, g2_aff, g2_dig, 4,
-                                  g2_chunks, 8, signed=True))
+        outs = [e.msm_g1(b, scalars(len(b))) for b in g1_bases.values()]
+        outs.append(e.msm_g2(g2_bases, scalars(n_g2)))
         return outs
 
-    def sync(x):
-        jax.tree_util.tree_map(lambda l: np.asarray(l), x)
-
-    # warmup/compile
-    sync(h_poly())
-    sync(run_msms())
+    # warmup: compiles + device-form base cache upload
+    d.h_poly(a_vals[:4], b_vals[:4], c_vals[:4])
+    d.h_poly(a_vals, b_vals, c_vals)
+    run_msms()
 
     t0 = time.perf_counter()
-    h = h_poly()
-    sync(h)
+    h = d.h_poly(a_vals, b_vals, c_vals)
     t_fft = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sync(run_msms())
+    run_msms()
     t_msm = time.perf_counter() - t0
     t = t_fft + t_msm
     print(json.dumps({
