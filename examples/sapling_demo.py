@@ -60,6 +60,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--params", help="directory to cache CRS")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="prove the spend N times: later iterations show "
+                         "the steady-state serving latency (compiled "
+                         "executables + device-resident CRS)")
     args = ap.parse_args()
 
     import jax
@@ -116,14 +120,20 @@ def main():
     sighash = bytes(range(32))
 
     ctx = A.librustzcash_sapling_proving_ctx_init()
-    t0 = time.time()
-    res = A.librustzcash_sapling_spend_proof(
-        ctx, ak, nsk.to_bytes(32, "little"), d, rcm,
-        ar.to_bytes(32, "little"), value, anchor, witness, rng=rng,
-    )
-    assert res is not None, "spend proof failed self-check"
-    cv, rk, spend_zkproof = res
-    print(f"SPEND proof created+self-verified in {time.time()-t0:.1f}s")
+    for it in range(args.repeat):
+        if it:
+            # fresh context per iteration so binding-state stays consistent
+            ctx = A.librustzcash_sapling_proving_ctx_init()
+        t0 = time.time()
+        res = A.librustzcash_sapling_spend_proof(
+            ctx, ak, nsk.to_bytes(32, "little"), d, rcm,
+            ar.to_bytes(32, "little"), value, anchor, witness, rng=rng,
+        )
+        assert res is not None, "spend proof failed self-check"
+        cv, rk, spend_zkproof = res
+        tag = "" if args.repeat == 1 else f" (iteration {it + 1})"
+        print(f"SPEND proof created+self-verified in {time.time()-t0:.1f}s"
+              f"{tag}")
 
     spend_sig = A.librustzcash_sapling_spend_sig(
         ask.to_bytes(32, "little"), ar.to_bytes(32, "little"), sighash,

@@ -60,3 +60,20 @@ def redc_mxu() -> bool:
     if mode:
         return mode == "mxu"
     return _backend() != "cpu"
+
+
+def g2_msm_impl() -> str:
+    """G2 MSM backend: 'pallas' (VMEM bucket kernel) or 'xla' (scan path).
+
+    Separate from the G1 switch because the Fq2 kernel's Mosaic compile
+    is much heavier; ZKTPU_G2_IMPL overrides.
+    """
+    if msm_config().impl != "pallas":
+        return "xla"
+    return os.environ.get("ZKTPU_G2_IMPL", "pallas")
+
+
+def g2_pallas_params() -> tuple:
+    """(chunks, k_inner) for the G2 Pallas kernel (ZKTPU_G2_CHUNKS/K)."""
+    return (int(os.environ.get("ZKTPU_G2_CHUNKS", "16")),
+            int(os.environ.get("ZKTPU_G2_K", "8")))

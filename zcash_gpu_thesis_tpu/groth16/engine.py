@@ -173,10 +173,17 @@ class BlsEngine:
             bases, scalars = self._compact_pad(bases, scalars)
             aff = from_ints(bases)
         digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
-        if msm_config().impl == "pallas":
+        from ..config import g2_msm_impl, g2_pallas_params
+
+        impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
+        if impl == "pallas":
             from ..ops import msm_pallas as MP
 
-            return MP.msm_host_pallas(group, aff, digits, 4, 16, 8)
+            ck = (16, 8) if group_name == "g1" else g2_pallas_params()
+            return MP.msm_host_pallas(group, aff, digits, 4, *ck)
+        if group_name == "g2" and msm_config().impl == "pallas":
+            # XLA G2 fallback sized for TPU
+            return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)
         return M.msm_host(group, aff, digits, 4, self.msm_chunks,
                           self.msm_k_inner, signed=True)
 
