@@ -77,3 +77,15 @@ def g2_pallas_params() -> tuple:
     """(chunks, k_inner) for the G2 Pallas kernel (ZKTPU_G2_CHUNKS/K)."""
     return (int(os.environ.get("ZKTPU_G2_CHUNKS", "16")),
             int(os.environ.get("ZKTPU_G2_K", "8")))
+
+
+def g2_pad_floor() -> int:
+    """Minimum padded size for large G2 MSMs on the pallas path.
+
+    The Fq2 kernel's Mosaic compile is ~1h per distinct grid size, so all
+    production G2 MSMs pad up to one canonical size (2^17 covers every
+    Sapling/Sprout CRS vector) and share a single compiled executable;
+    the extra lanes are zero-digit columns the bucket path skips.
+    ZKTPU_G2_PAD_FLOOR overrides (set 1 to disable).
+    """
+    return int(os.environ.get("ZKTPU_G2_PAD_FLOOR", str(1 << 17)))

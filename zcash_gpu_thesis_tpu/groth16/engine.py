@@ -117,13 +117,13 @@ class BlsEngine:
     # the first.  Strong refs to the lists guard against id() reuse.
     _base_cache: dict = {}
 
-    def _cached_affine(self, bases, from_ints):
+    def _cached_affine(self, bases, from_ints, floor: int = 1):
         key = (id(bases), from_ints.__name__)
         hit = BlsEngine._base_cache.get(key)
         if hit is not None and hit[0] is bases:
             return hit[1], hit[2]
         n = max(len(bases), 1)
-        n_pad = 1 << (n - 1).bit_length()
+        n_pad = max(1 << (n - 1).bit_length(), floor)
         aff = from_ints(list(bases) + [None] * (n_pad - len(bases)))
         BlsEngine._base_cache[key] = (bases, aff, n_pad)
         return aff, n_pad
@@ -166,8 +166,15 @@ class BlsEngine:
         group = cv.G1 if group_name == "g1" else cv.G2
         if len(bases) >= self._cache_threshold:
             # big CRS vector: reuse the cached device arrays; density is
-            # handled by the digit-0 bucket skip alone
-            aff, n_pad = self._cached_affine(bases, from_ints)
+            # handled by the digit-0 bucket skip alone.  G2 pads up to one
+            # canonical size so every proof shares a single compiled
+            # Mosaic executable (config.g2_pad_floor).
+            from ..config import g2_msm_impl, g2_pad_floor
+
+            floor = (g2_pad_floor()
+                     if group_name == "g2" and g2_msm_impl() == "pallas"
+                     else 1)
+            aff, n_pad = self._cached_affine(bases, from_ints, floor)
             scalars = list(scalars) + [0] * (n_pad - len(scalars))
         else:
             bases, scalars = self._compact_pad(bases, scalars)
