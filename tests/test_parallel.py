@@ -44,6 +44,37 @@ def test_sharded_msm_matches_single(mesh8):
     assert np.asarray(G1.eq(got, want)).all()
 
 
+def test_sharded_msm_g2_matches_single(mesh8):
+    # regression: out_specs must follow the projective output structure,
+    # which differs from the affine input structure for G2 (6 vs 5 leaves)
+    rng = random.Random(23)
+    base = O.random_g2_points(rng, 4)
+    n = 32
+    pts = [base[i % 4] for i in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    aff = cv.g2_affine_from_ints(pts)
+    digits = jnp.asarray(M.digits_from_ints(scalars, 4))
+
+    got = pm.sharded_msm(cv.G2, aff, digits, mesh8, c=4, chunks=2, k_inner=2)
+    want = M.msm(cv.G2, aff, digits, 4, 2, 2)
+    assert np.asarray(cv.G2.eq(got, want)).all()
+
+
+def test_sharded_msm_signed_digits(mesh8):
+    rng = random.Random(24)
+    base = O.random_g1_points(rng, 4)
+    n = 64
+    pts = [base[i % 4] for i in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    aff = cv.g1_affine_from_ints(pts)
+    digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+
+    got = pm.sharded_msm(G1, aff, digits, mesh8, c=4, chunks=2, k_inner=2,
+                         signed=True)
+    want = M.msm(G1, aff, digits, 4, 2, 2, signed=True)
+    assert np.asarray(G1.eq(got, want)).all()
+
+
 @pytest.mark.parametrize("inverse", [False, True])
 def test_sharded_ntt_matches_single(mesh8, inverse):
     rng = random.Random(22)

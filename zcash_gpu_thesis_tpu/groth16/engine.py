@@ -200,46 +200,71 @@ class BlsEngine:
     def msm_g2(self, bases, scalars):
         return self._msm("g2", bases, scalars)
 
+    # Fixed-base comb tables: (group name, generator) -> device affine
+    # pytree with W*2^c rows (row w*2^c + j = j * 2^(cw) * gen).  The
+    # table-walk replaces round 1's 255-step double-and-add scan with
+    # W = 32 gathered mixed adds — the role of the reference generator's
+    # shared wNAF window tables (pairing/src/wnaf.rs:75, generator.rs).
+    _fb_c = 8
+    _fb_tables: dict = {}
+
+    def _fb_table(self, group_name, from_ints, gen):
+        key = (group_name, gen if group_name == "g1" else gen[0])
+        hit = BlsEngine._fb_tables.get(key)
+        if hit is not None:
+            return hit
+        add = (ocurve.g1_add if group_name == "g1" else ocurve.g2_add)
+        c, W = self._fb_c, -(-256 // self._fb_c)
+        rows = []
+        base = gen
+        for _ in range(W):
+            acc = None
+            rows.append(None)  # j = 0 -> identity
+            for _ in range(1, 1 << c):
+                acc = add(acc, base)
+                rows.append(acc)
+            for _ in range(c):
+                base = add(base, base)  # base <- 2^c * base
+        table = from_ints(rows)
+        BlsEngine._fb_tables[key] = table
+        return table
+
     def _fixed_base(self, group, from_ints, to_ints, gen, scalars):
         import numpy as np
 
-        from ..ops import curve as cv
+        import jax
 
-        from ..utils.limbs import ints_to_limbs_fast
+        from ..ops import msm as M
 
+        c = self._fb_c
         n_real = len(scalars)
         # pad to a power of two so CRS base vectors of similar size share
-        # one compiled scan (scalar 0 -> identity -> sliced off below)
+        # one compiled executable (scalar 0 -> identity -> sliced off)
         n = 1
         while n < n_real:
             n *= 2
         padded = [int(k) % FR_MOD for k in scalars] + [0] * (n - n_real)
-        limbs = ints_to_limbs_fast(padded, 24)  # [n, 24] 12-bit
-        nbits = 255
-        bits = np.zeros((nbits, n), dtype=np.int32)
-        for b in range(nbits):
-            bits[nbits - 1 - b] = (limbs[:, b // 12] >> (b % 12)) & 1
-        base = from_ints([gen])
-
-        def squeeze(leaf):
-            return leaf[0]
-
-        import jax
-
-        base0 = jax.tree.map(squeeze, base)
+        digits = M.digits_from_ints(padded, c)  # [n, W]
+        W = digits.shape[1]
+        idx = (digits.T.astype(np.int32)
+               + (np.arange(W, dtype=np.int32) * (1 << c))[:, None])  # [W, n]
+        table = self._fb_table(group.f.name, from_ints, gen)
+        tx, ty, tinf = table
 
         @jax.jit
-        def run(bits):
-            def body(acc, bitrow):
-                acc = group.double(acc)
-                withadd = group.add_mixed(acc, base0)
-                acc = group.select(bitrow != 0, withadd, acc)
-                return acc, None
+        def run(idx):
+            def body(acc, idx_w):
+                aff = (
+                    jax.tree.map(lambda l: jnp.take(l, idx_w, axis=0), tx),
+                    jax.tree.map(lambda l: jnp.take(l, idx_w, axis=0), ty),
+                    jnp.take(tinf, idx_w, axis=0),
+                )
+                return group.add_mixed(acc, aff), None
 
-            acc, _ = jax.lax.scan(body, group.identity((n,)), bits)
+            acc, _ = jax.lax.scan(body, group.identity((n,)), idx)
             return group.to_affine(acc)
 
-        return to_ints(run(jnp.asarray(bits)))[:n_real]
+        return to_ints(run(jnp.asarray(idx)))[:n_real]
 
     def fixed_base_g1(self, scalars):
         """[k_i * G1] batched on device (generator's wNAF-table analogue,

@@ -51,7 +51,8 @@ def default_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def sharded_msm(group: Group, points, digits, mesh: Mesh, c: int = 4,
-                chunks: int = 16, k_inner: int = 8, axis: str = "data"):
+                chunks: int = 16, k_inner: int = 8, axis: str = "data",
+                signed: bool = False):
     """MSM with the point axis sharded over `mesh`.
 
     Each device computes its shard's [W] window partials; the partials are
@@ -61,17 +62,21 @@ def sharded_msm(group: Group, points, digits, mesh: Mesh, c: int = 4,
     """
 
     def local(pts, digs):
-        wsums = M.window_sums(group, pts, digs, c, chunks, k_inner)
+        wsums = M.window_sums(group, pts, digs, c, chunks, k_inner,
+                              signed=signed)
         # add a leading axis of size 1 per device: out spec concatenates
         return jax.tree.map(lambda l: l[None], wsums)
 
-    pspec = jax.tree.map(lambda _: P(axis), points)
-    out_spec = jax.tree.map(lambda _: P(axis), points)  # structure differs
-
+    # The local body returns a *projective* pytree (3 coords), whose
+    # structure differs from the affine input pytree (x, y, inf) — for G2
+    # the leaf counts differ (6 vs 5), so out_specs must be built from the
+    # output structure, not the points.  group.identity(()) has exactly
+    # the output's pytree structure.
+    out_struct = group.identity(())
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(axis), points), P(axis)),
-        out_specs=jax.tree.map(lambda _: P(axis), points),
+        out_specs=jax.tree.map(lambda _: P(axis), out_struct),
         check_rep=False,
     )
     parts = fn(points, digits)  # leaves [n_dev, W, ...]
