@@ -191,3 +191,37 @@ def test_conv_mode_parity(rng, name, monkeypatch):
     monkeypatch.setenv("ZKTPU_CONV_MODE", "unroll")
     unrolled = np.asarray(F.mont_mul(spec, a, b))
     assert (looped == unrolled).all()
+
+
+@pytest.mark.parametrize("name", SPECS)
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_mont_mul_acc_fused(rng, name, k):
+    """field_t.mont_mul_acc: REDC(sum of k products) with one shared
+    reduction must agree with k independent Montgomery muls summed —
+    including adversarial operands (0, 1, p-1, lazy values near 2B) that
+    stress the shared-carry path."""
+    from zcash_gpu_thesis_tpu.ops import field_t as FT
+
+    spec, oracle = SPECS[name]
+    p = spec.modulus
+    edge = [0, 1, p - 1, p - 2, (1 << 381) % p if name == "fq" else p // 2]
+    xs = [edge + _rand_elems(rng, spec, N - len(edge)) for _ in range(2 * k)]
+
+    arrs = [jnp.asarray(ints_to_limbs(v, spec.n_limbs)).T for v in xs]
+
+    @jax.jit
+    def run(*ops):
+        return FT.mont_mul_acc(spec, list(zip(ops[::2], ops[1::2])))
+
+    got = np.asarray(run(*arrs)).T
+    _check_invariant(spec, got)
+    # REDC semantics on raw limb inputs: result = sum(a_i * b_i) / R mod p
+    from zcash_gpu_thesis_tpu.constants import modinv
+
+    rinv = modinv(1 << (12 * spec.n_limbs), p)
+    want = [
+        sum(xs[2 * i][j] * xs[2 * i + 1][j] for i in range(k))
+        * rinv % p
+        for j in range(N)
+    ]
+    assert _values(spec, got) == want

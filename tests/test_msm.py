@@ -127,6 +127,7 @@ def test_recode_signed_reconstruction():
             assert v == x
 
 
+@pytest.mark.slow
 def test_g1_msm_pallas_interpret(g1pts):
     """The VMEM bucket kernel (interpret mode) matches the oracle."""
     import jax.numpy as jnp
@@ -144,6 +145,7 @@ def test_g1_msm_pallas_interpret(g1pts):
     assert got == O.g1_msm(g1pts, scalars)
 
 
+@pytest.mark.slow
 def test_g2_msm_pallas_interpret():
     """The field-generic VMEM bucket kernel over Fq2/G2 (interpret mode)
     matches the oracle."""
@@ -162,3 +164,22 @@ def test_g2_msm_pallas_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = MP.msm_host_pallas(C.G2, aff, sd, 4, 4, 2)
     assert got == O.g2_msm(pts, scalars)
+
+
+@pytest.mark.slow
+def test_g1_msm_pallas_interpret_c8(g1pts):
+    """The wide-window (c=8, 128-bucket) kernel variant in interpret
+    mode: full-array one-hot select/update plus fused-REDC mixed adds."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+
+    rng = random.Random(81)
+    scalars = [rng.randrange(R) for _ in g1pts]
+    scalars[0] = 0
+    aff = C.g1_affine_from_ints(g1pts)
+    sd = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 8), 8))
+    with pltpu.force_tpu_interpret_mode():
+        got = MP.msm_host_pallas(C.G1, aff, sd, 8, 2, 2)
+    assert got == O.g1_msm(g1pts, scalars)

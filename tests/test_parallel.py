@@ -85,3 +85,42 @@ def test_sharded_ntt_matches_single(mesh8, inverse):
     d = Domain(n)
     want = d.ifft(a) if inverse else d.fft(a)
     assert (np.asarray(F.canon(F.FR, got)) == np.asarray(F.canon(F.FR, want))).all()
+
+
+def test_engine_mesh_mode(mesh8, monkeypatch):
+    """ZKTPU_MESH=N routes the production engine's device-scalar MSMs and
+    the H(x) chain through the sharded paths; results must match the
+    single-device engine bit-for-bit."""
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.groth16.engine import BlsEngine, _BlsDomain
+    from zcash_gpu_thesis_tpu.ops import field as F2
+
+    rng = random.Random(31)
+    e = BlsEngine()
+
+    n = 128
+    base = O.random_g1_points(rng, 4)
+    bases = [base[i % 4] for i in range(n)]
+    scal_ints = [rng.randrange(R) for _ in range(n)]
+    scal_dev = jnp.asarray(F2.batch_to_limbs(F2.FR, scal_ints, mont=False))
+
+    want = e._msm_dev("g1", bases, scal_dev)
+    m = 64
+    d = _BlsDomain(m)
+    av = [rng.randrange(R) for _ in range(m)]
+    bv = [rng.randrange(R) for _ in range(m)]
+    cv2 = [rng.randrange(R) for _ in range(m)]
+    am, bm, cm = (jnp.asarray(F2.batch_to_limbs(F2.FR, v))
+                  for v in (av, bv, cv2))
+    want_h = np.asarray(d.h_poly_dev(am, bm, cm))
+
+    monkeypatch.setenv("ZKTPU_MESH", "8")
+    BlsEngine.clear_base_cache()
+    BlsEngine._digits_cache.clear()
+    got = e._msm_dev("g1", bases, scal_dev)
+    d2 = _BlsDomain(m)
+    got_h = np.asarray(d2.h_poly_dev(am, bm, cm))
+
+    assert got == want
+    assert (got_h == want_h).all()

@@ -36,6 +36,7 @@ def _random_witness(rng):
             return value_commitment, pgk, vk, addr
 
 
+@pytest.mark.slow
 def test_spend_constraint_count_and_satisfaction():
     rng = random.Random(0x3DBE6259)
     value_commitment, pgk, vk, addr = _random_witness(rng)
@@ -98,6 +99,7 @@ def test_spend_constraint_count_and_satisfaction():
     assert cs.get_input(7, "pack nullifier/input 1") == packed[1]
 
 
+@pytest.mark.slow
 def test_output_constraint_count_and_satisfaction():
     rng = random.Random(0x8D313D76)
     value_commitment, pgk, vk, addr = _random_witness(rng)

@@ -79,6 +79,15 @@ def g2_pallas_params() -> tuple:
             int(os.environ.get("ZKTPU_G2_K", "8")))
 
 
+def mesh_devices() -> int:
+    """Multi-chip engine mode: ZKTPU_MESH=N routes the prover's MSMs and
+    the H(x) NTT chain through the mesh-sharded paths (parallel.mesh)
+    over the first N jax devices.  0/unset = single-device paths.  The
+    reference has no analog (single OpenCL queue, multiexp.rs:2839);
+    this is the TPU-native scaling axis."""
+    return int(os.environ.get("ZKTPU_MESH", "0"))
+
+
 def g2_pad_floor() -> int:
     """Minimum padded size for large G2 MSMs on the pallas path.
 

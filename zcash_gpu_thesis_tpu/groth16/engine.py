@@ -31,14 +31,75 @@ from ..oracle import curve as ocurve
 from ..oracle import pairing as opairing
 
 
+def _make_digits_impl(scal, n_pad: int, c: int):
+    from ..ops import msm as M
+
+    scal = jnp.pad(scal, ((0, n_pad - scal.shape[0]), (0, 0)))
+    return M.recode_signed_dev(M.digits_from_canonical(scal, c), c)
+
+
+_make_digits = None  # lazily jitted below to keep import light
+
+
+def _get_make_digits():
+    global _make_digits
+    if _make_digits is None:
+        import functools
+
+        import jax
+
+        _make_digits = jax.jit(_make_digits_impl, static_argnums=(1, 2))
+    return _make_digits
+
+
 class _BlsDomain:
     """Python-int facade over the device NTT domain (ops.ntt.Domain)."""
 
     def __init__(self, n: int):
+        import jax
+
         from ..ops.ntt import Domain
 
         self.d = Domain(n)
         self.n = n
+        self._jit_h = jax.jit(self._h_impl)
+        self._jit_h_sharded = None
+
+    def _h_impl(self, a_mont, b_mont, c_mont):
+        """Single traced graph for the whole H(x) block — one device
+        dispatch per proof (the tunnel makes per-op dispatch a dominant
+        cost, so the 9 stages fuse into one executable)."""
+        from ..constants import modinv
+        from ..ops import field as F
+        from ..ops import ntt as N
+        from ..ops.ntt import FR
+
+        d = self.d
+
+        def ifft(x):
+            return F.mont_mul(
+                FR, d._fft(x, d.omega_inv), F.mont_const(FR, d.n_inv, (1,))
+            )
+
+        def coset_fft(x):
+            return d._fft(F.mont_mul(FR, x, N.powers(d.gen, d.n)), d.omega)
+
+        a = coset_fft(ifft(a_mont))
+        b = coset_fft(ifft(b_mont))
+        c = coset_fft(ifft(c_mont))
+        ab = F.mont_mul(FR, a, b)
+        ab = F.sub(FR, ab, c)
+        z_inv = modinv((pow(d.gen, d.n, FR.modulus) - 1) % FR.modulus,
+                       FR.modulus)
+        ab = F.mont_mul(FR, ab, F.mont_const(FR, z_inv, (1,)))
+        h = F.mont_mul(
+            FR,
+            F.mont_mul(FR, d._fft(ab, d.omega_inv),
+                       F.mont_const(FR, d.n_inv, (1,))),
+            N.powers(d.gen_inv, d.n),
+        )
+        h = F.from_mont(FR, h)
+        return h.at[-1].set(0)
 
     def ifft(self, xs):
         return self.d.to_ints(self.d.ifft(self.d.from_ints(xs)))
@@ -49,22 +110,46 @@ class _BlsDomain:
     def icoset_fft(self, xs):
         return self.d.to_ints(self.d.icoset_fft(self.d.from_ints(xs)))
 
+    def h_poly_dev(self, a_mont, b_mont, c_mont):
+        """The full H(x) block of create_proof (prover.rs:256-283) on
+        device: Montgomery-form [n, L] evaluation vectors in, *canonical
+        standard-form* coefficient digits [n, L] out — ready for the MSM
+        digit decomposition with no host round trip.  The top coefficient
+        (dropped by the reference's truncate) is zeroed.
+
+        With ZKTPU_MESH=N the NTT chain runs mesh-distributed (four-step
+        with all_to_all transposes, parallel.mesh.h_poly_sharded)."""
+        from ..config import mesh_devices
+
+        mesh_n = mesh_devices()
+        if mesh_n > 1:
+            import jax
+
+            from ..parallel import mesh as pm
+
+            if self._jit_h_sharded is None:
+                mesh = BlsEngine._mesh(mesh_n)
+                self._jit_h_sharded = jax.jit(
+                    lambda a, b, c: pm.h_poly_sharded(self.n, a, b, c, mesh)
+                )
+            return self._jit_h_sharded(a_mont, b_mont, c_mont)
+        return self._jit_h(a_mont, b_mont, c_mont)
+
+    def from_ints_mont(self, xs):
+        """Python-int evaluation vector -> device Montgomery [n, L]."""
+        return self.d.from_ints(xs)
+
     def h_poly(self, a_vals, b_vals, c_vals):
-        """The full H(x) block of create_proof (prover.rs:256-283):
-        3x(ifft + coset_fft), a*b - c, divide by Z on coset, icoset_fft,
-        truncate to n-1 coefficients.  Stays on device throughout."""
+        """Python-int facade over ``h_poly_dev`` (legacy/test path)."""
         from ..ops import field as F
         from ..ops.ntt import FR
 
-        d = self.d
-        a = d.coset_fft(d.ifft(d.from_ints(a_vals)))
-        b = d.coset_fft(d.ifft(d.from_ints(b_vals)))
-        c = d.coset_fft(d.ifft(d.from_ints(c_vals)))
-        ab = F.mont_mul(FR, a, b)
-        ab = F.sub(FR, ab, c)
-        ab = d.divide_by_z_on_coset(ab)
-        h = d.icoset_fft(ab)
-        return d.to_ints(h)[: self.n - 1]
+        h = self.h_poly_dev(
+            self.d.from_ints(a_vals),
+            self.d.from_ints(b_vals),
+            self.d.from_ints(c_vals),
+        )
+        return F.batch_from_limbs(FR, h, mont=False)[: self.n - 1]
 
 
 class BlsEngine:
@@ -132,6 +217,17 @@ class BlsEngine:
     def clear_base_cache(cls):
         cls._base_cache.clear()
 
+    _mesh_cache: dict = {}
+
+    @staticmethod
+    def _mesh(n: int):
+        hit = BlsEngine._mesh_cache.get(n)
+        if hit is None:
+            from ..parallel import mesh as pm
+
+            hit = BlsEngine._mesh_cache[n] = pm.default_mesh(n)
+        return hit
+
     @staticmethod
     def _compact_pad(bases, scalars):
         """Drop zero-scalar terms and pad to the next power of two.
@@ -154,12 +250,79 @@ class BlsEngine:
         return (list(bases) + [None] * (n_pad - len(bases)),
                 list(scalars) + [0] * (n_pad - len(scalars)))
 
+    # -- device-scalar MSM path ---------------------------------------------
+
+    supports_device_scalars = True
+
+    # digits cache: same assignment vector drives the a / b_g1 / b_g2 MSMs
+    # (prover.rs:302-318); computing the signed digit planes once per
+    # (array, pad) pair saves two device passes per proof.  Strong refs
+    # guard id() reuse; FIFO-capped.
+    _digits_cache: dict = {}
+
+    @staticmethod
+    def _digits_for(scal_dev, n_pad: int, c: int = 4):
+        key = (id(scal_dev), n_pad, c)
+        hit = BlsEngine._digits_cache.get(key)
+        if hit is not None and hit[0] is scal_dev:
+            return hit[1]
+        digits = _get_make_digits()(scal_dev, n_pad, c)
+        if len(BlsEngine._digits_cache) > 8:
+            BlsEngine._digits_cache.pop(next(iter(BlsEngine._digits_cache)))
+        BlsEngine._digits_cache[key] = (scal_dev, digits)
+        return digits
+
+    def _msm_dev(self, group_name, bases, scal_dev):
+        """MSM with device-resident scalars: [n, L_fr] *canonical
+        standard-form* 12-bit digit array (e.g. straight out of
+        ``h_poly_dev``), n <= len(bases) + 1.  No host round trip between
+        the scalar producer and the bucket kernel."""
+        from ..config import (g2_msm_impl, g2_pad_floor, g2_pallas_params,
+                              msm_config)
+        from ..ops import curve as cv
+        from ..ops import msm as M
+
+        from ..config import mesh_devices
+
+        from_ints = (cv.g1_affine_from_ints if group_name == "g1"
+                     else cv.g2_affine_from_ints)
+        group = cv.G1 if group_name == "g1" else cv.G2
+        impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
+        floor = (g2_pad_floor()
+                 if group_name == "g2" and impl == "pallas" else 1)
+        aff, n_pad = self._cached_affine(bases, from_ints, floor)
+        assert scal_dev.shape[0] <= n_pad, (scal_dev.shape, n_pad)
+        digits = self._digits_for(scal_dev, n_pad)
+        mesh_n = mesh_devices()
+        if mesh_n > 1 and n_pad % mesh_n == 0:
+            from ..parallel import mesh as pm
+
+            mesh = self._mesh(mesh_n)
+            cfg = msm_config()
+            return pm.sharded_msm_host(
+                group, aff, digits, mesh, 4,
+                max(cfg.chunks // mesh_n, 1), cfg.k_inner,
+                signed=True, impl=impl,
+            )
+        if impl == "pallas":
+            from ..ops import msm_pallas as MP
+
+            ck = (16, 8) if group_name == "g1" else g2_pallas_params()
+            return MP.msm_host_pallas(group, aff, digits, 4, *ck)
+        if group_name == "g2" and msm_config().impl == "pallas":
+            return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)
+        return M.msm_host(group, aff, digits, 4, self.msm_chunks,
+                          self.msm_k_inner, signed=True)
+
     def _msm(self, group_name, bases, scalars):
         import jax.numpy as jnp
 
         from ..config import msm_config
         from ..ops import curve as cv
         from ..ops import msm as M
+
+        if hasattr(scalars, "shape") and getattr(scalars, "ndim", 0) == 2:
+            return self._msm_dev(group_name, bases, scalars)
 
         from_ints = (cv.g1_affine_from_ints if group_name == "g1"
                      else cv.g2_affine_from_ints)

@@ -23,13 +23,18 @@ from .r1cs import ConstraintSystem, LinearCombination, SynthesisError, Variable
 
 # Reference prover prints FFT/exp phase timings (prover.rs:283,357);
 # gate ours behind an env flag to keep library output clean by default.
+# Every create_proof also records its phase timings in `last_timings`
+# (seconds by label) for benches/telemetry to read programmatically.
 _TIMING = os.environ.get("ZKTPU_PROVER_TIMING", "") not in ("", "0")
+
+last_timings: dict = {}
 
 
 def _t(label, t0):
+    dt = time.perf_counter() - t0
+    last_timings[label] = dt
     if _TIMING:
-        print(f"prover: {label} took {time.perf_counter() - t0:.3f}s",
-              flush=True)
+        print(f"prover: {label} took {dt:.3f}s", flush=True)
     return time.perf_counter()
 
 
@@ -71,6 +76,8 @@ class ProvingAssignment(ConstraintSystem):
 def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
     """create_proof (prover.rs:205-364) with explicit blinding r, s."""
     p = engine.r
+    last_timings.clear()
+    t_start = time.perf_counter()
     t0 = time.perf_counter()
     prover = ProvingAssignment(p)
     circuit.synthesize(prover)
@@ -93,23 +100,65 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
     while m < len(prover.a):
         m *= 2
     domain = engine.domain(m)
-    h_coeffs = domain.h_poly(prover.a, prover.b, prover.c)
-    t0 = _t("fft (h poly)", t0)
-
-    # The 8 MSMs (prover.rs:289-318) — dense bases, zero scalars skipped
-    # by the MSM's digit-0 path instead of DensityTracker compaction.
     n_in = params.num_inputs
     assignment = prover.input_assignment + prover.aux_assignment
-    h = engine.msm_g1(params.h, h_coeffs)
-    t0 = _t("msm h", t0)
-    l = engine.msm_g1(params.l, prover.aux_assignment)
-    t0 = _t("msm l", t0)
-    a_all = engine.msm_g1(params.a, assignment)
-    t0 = _t("msm a", t0)
-    b1_all = engine.msm_g1(params.b_g1, assignment)
-    t0 = _t("msm b_g1", t0)
-    b2_all = engine.msm_g2(params.b_g2, assignment)
-    t0 = _t("msm b_g2", t0)
+
+    if getattr(engine, "supports_device_scalars", False):
+        # Device-resident pipeline: the a/b/c evaluation vectors go up
+        # once, H(x) stays on device, and its canonical digit array feeds
+        # the MSM digit decomposition directly — no python-int round trip
+        # between the FFT block and the MSMs (the dominant warm-proof cost
+        # in round 1).  The assignment vector likewise uploads once and
+        # serves the l/a/b_g1/b_g2 MSMs (with shared signed-digit planes).
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from ..ops import field as Ff
+
+        def pack_mont(vals):
+            arr = Ff.batch_to_limbs(Ff.FR, vals)
+            pad = m - arr.shape[0]
+            if pad:
+                arr = np.pad(arr, ((0, pad), (0, 0)))
+            return jnp.asarray(arr)
+
+        a_m, b_m, c_m = (pack_mont(v) for v in
+                         (prover.a, prover.b, prover.c))
+        asg_dev = jnp.asarray(
+            Ff.batch_to_limbs(Ff.FR, assignment, mont=False)
+        )
+        aux_dev = asg_dev[n_in:]
+        t0 = _t("pack/upload", t0)
+        h_scal = domain.h_poly_dev(a_m, b_m, c_m)
+        t0 = _t("fft (h poly)", t0)
+        h = engine.msm_g1(params.h, h_scal)
+        t0 = _t("msm h", t0)
+        l = engine.msm_g1(params.l, aux_dev)
+        t0 = _t("msm l", t0)
+        a_all = engine.msm_g1(params.a, asg_dev)
+        t0 = _t("msm a", t0)
+        b1_all = engine.msm_g1(params.b_g1, asg_dev)
+        t0 = _t("msm b_g1", t0)
+        b2_all = engine.msm_g2(params.b_g2, asg_dev)
+        t0 = _t("msm b_g2", t0)
+    else:
+        h_coeffs = domain.h_poly(prover.a, prover.b, prover.c)
+        t0 = _t("fft (h poly)", t0)
+
+        # The 8 MSMs (prover.rs:289-318) — dense bases, zero scalars
+        # skipped by the MSM's digit-0 path instead of DensityTracker
+        # compaction.
+        h = engine.msm_g1(params.h, h_coeffs)
+        t0 = _t("msm h", t0)
+        l = engine.msm_g1(params.l, prover.aux_assignment)
+        t0 = _t("msm l", t0)
+        a_all = engine.msm_g1(params.a, assignment)
+        t0 = _t("msm a", t0)
+        b1_all = engine.msm_g1(params.b_g1, assignment)
+        t0 = _t("msm b_g1", t0)
+        b2_all = engine.msm_g2(params.b_g2, assignment)
+        t0 = _t("msm b_g2", t0)
 
     # Blinding algebra (prover.rs:326-354).
     g_a = engine.g1_add(
@@ -128,6 +177,8 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         ),
         engine.g1_add(h, l),
     )
+    _t("blinding", t0)
+    last_timings["total"] = time.perf_counter() - t_start
     return Proof(a=g_a, b=g_b, c=g_c)
 
 

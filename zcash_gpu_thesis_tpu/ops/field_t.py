@@ -109,14 +109,42 @@ def _conv_const(a, digits, out_len: int):
     return acc
 
 
-def mont_mul(spec: FieldSpec, a, b):
+def _redc(spec: FieldSpec, t):
+    """Shared Montgomery reduction tail: ``t`` is a [2L, P] product array
+    with limbs already rippled to ~12 bits (same class as the single-
+    product path feeds it)."""
     L = spec.n_limbs
-    t = _ripple(_conv(a, b, L), 3)
     m = _ripple_mod(_conv_const(t[:L], spec.nprime_digits, L), 3)
     s = _ripple(_conv_const(m, spec.p_digits, 2 * L) + t, 3)
     carry = jnp.any(s[:L] != 0, axis=0, keepdims=True).astype(jnp.int32)
     out = s[L:]
     return jnp.concatenate([out[:1] + carry, out[1:]], axis=0)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    return _redc(spec, _ripple(_conv(a, b, spec.n_limbs), 3))
+
+
+def mont_mul_acc(spec: FieldSpec, pairs):
+    """REDC(sum of products) — one shared reduction for up to 4 products.
+
+    ``pairs`` is a sequence of (x, y) limb arrays; all products are added
+    (negate one operand with ``neg`` for subtraction — its K*p offset
+    keeps every term non-negative).  REDC is linear in t modulo p, so a
+    single m/s pass reduces the whole sum; this saves a full reduction
+    (two 33-tap constant convolutions + ripples) per extra product — the
+    dominant cost in the curve formulas' a*b ± c*d terms.
+
+    Overflow audit (int32 lanes): each raw product limb <= 33*LMAX^2 ~
+    2^30; after one ripple round <= MASK + 2^18; the sum of 4 such <=
+    2^20.3; two more ripple rounds bring limbs to <= MASK + 1, the same
+    class ``_redc`` sees from the single-product path."""
+    t = None
+    L = spec.n_limbs
+    for x, y in pairs:
+        p = _ripple(_conv(x, y, L), 1)
+        t = p if t is None else t + p
+    return _redc(spec, _ripple(t, 2))
 
 
 def mont_square(spec: FieldSpec, a):

@@ -111,6 +111,28 @@ def recode_signed(digits: np.ndarray, c: int) -> np.ndarray:
     return out
 
 
+def recode_signed_dev(digits, c: int):
+    """Device-side ``recode_signed``: [n, W] unsigned c-bit digits ->
+    [n, W+1] signed digits in [-(2^(c-1)), 2^(c-1)).  The carry chain is
+    sequential over windows (W ~ 64 scan steps of [n] int32 vector ops —
+    negligible), keeping the whole scalar pipeline on device."""
+    half = 1 << (c - 1)
+    full = 1 << c
+
+    def body(carry, d):
+        d = d + carry
+        carry = (d >= half).astype(jnp.int32)
+        return carry, d - carry * full
+
+    n = digits.shape[0]
+    carry, out = jax.lax.scan(
+        body, jnp.zeros((n,), jnp.int32), jnp.moveaxis(digits, 1, 0)
+    )
+    return jnp.concatenate(
+        [jnp.moveaxis(out, 0, 1), carry[:, None]], axis=1
+    )
+
+
 def _tree_map(fn, *trees):
     return jax.tree.map(fn, *trees)
 

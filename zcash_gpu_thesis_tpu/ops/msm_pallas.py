@@ -70,6 +70,16 @@ class _Ft:
     def mul_b3(self, a):
         return FT.mul_small(self.spec, a, self.b3)
 
+    def mul_pair(self, a, b, c, d):
+        """a*b + c*d with one shared REDC (field_t.mont_mul_acc)."""
+        return FT.mont_mul_acc(self.spec, [(a, b), (c, d)])
+
+    def mul_pair_sub(self, a, b, c, d):
+        """a*b - c*d with one shared REDC."""
+        return FT.mont_mul_acc(
+            self.spec, [(a, b), (FT.neg(self.spec, c), d)]
+        )
+
     def one_rows(self, lanes: int):
         digits = int_to_limbs(self.spec.r, self.spec.n_limbs)
         return jnp.concatenate(
@@ -138,6 +148,27 @@ class _Ft2:
             FT.mul_small(sp, FT.add(sp, a0, a1), self.b3),
         )
 
+    def mul_pair(self, a, b, c, d):
+        """Fq2 a*b + c*d: schoolbook components, each a 4-product fused
+        REDC (mont_mul_acc) — fewer reductions than two Karatsuba muls."""
+        sp = self.spec
+        a0, a1 = self._s(a)
+        b0, b1 = self._s(b)
+        c0, c1 = self._s(c)
+        d0, d1 = self._s(d)
+        na1 = FT.neg(sp, a1)
+        nc1 = FT.neg(sp, c1)
+        real = FT.mont_mul_acc(
+            sp, [(a0, b0), (na1, b1), (c0, d0), (nc1, d1)]
+        )
+        imag = FT.mont_mul_acc(
+            sp, [(a0, b1), (a1, b0), (c0, d1), (c1, d0)]
+        )
+        return self._j(real, imag)
+
+    def mul_pair_sub(self, a, b, c, d):
+        return self.mul_pair(a, b, self.neg(c), d)
+
     def one_rows(self, lanes: int):
         digits = int_to_limbs(self.spec.r, self.spec.n_limbs)
         one = jnp.concatenate(
@@ -156,7 +187,9 @@ def _adapter(group: Group):
 def _madd_t(f, acc, aff):
     """Transposed complete mixed addition (RCB Algorithm 8, a=0), field
     elements [nc*L, lanes].  The P2-at-infinity case is excluded by
-    digit-0 skipping."""
+    digit-0 skipping.  The three a*b +- c*d output terms use fused
+    product pairs (one shared REDC each, field_t.mont_mul_acc) — ~30%
+    fewer reduction convolutions than eleven independent muls."""
     x1, y1, z1 = acc
     x2, y2 = aff
     t0 = f.mul(x1, x2)
@@ -170,9 +203,9 @@ def _madd_t(f, acc, aff):
     z3 = f.add(t1, t2)
     t1 = f.sub(t1, t2)
     y3 = f.mul_b3(y3)
-    x3 = f.sub(f.mul(t3, t1), f.mul(t4, y3))
-    y3 = f.add(f.mul(t1, z3), f.mul(y3, t0))
-    z3 = f.add(f.mul(z3, t4), f.mul(t0, t3))
+    x3 = f.mul_pair_sub(t3, t1, t4, y3)
+    y3 = f.mul_pair(t1, z3, y3, t0)
+    z3 = f.mul_pair(z3, t4, t0, t3)
     return (x3, y3, z3)
 
 
@@ -185,10 +218,9 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
     @pl.when(g == 0)
     def _init():
         one = f.one_rows(P)
-        for b in range(nb):
-            bx[b] = jnp.zeros((rows, P), jnp.int32)
-            by[b] = one
-            bz[b] = jnp.zeros((rows, P), jnp.int32)
+        bx[...] = jnp.zeros((nb, rows, P), jnp.int32)
+        by[...] = jnp.broadcast_to(one[None], (nb, rows, P))
+        bz[...] = jnp.zeros((nb, rows, P), jnp.int32)
 
     expand = expand_ref[...]  # [chunks, P] f32 0/1 block-expansion matrix
 
@@ -213,28 +245,26 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
         ).astype(jnp.int32)
         yb = FT.select(sign != 0, f.neg(yb), yb)
 
-        zero = jnp.zeros((rows, P), jnp.int32)
-        selx, sely, selz = zero, zero, zero
-        for b in range(nb):
-            hot = mag == b + 1  # [1, P]
-            selx = selx + jnp.where(hot, bx[b], 0)
-            sely = sely + jnp.where(hot, by[b], 0)
-            selz = selz + jnp.where(hot, bz[b], 0)
+        # one-hot bucket gather/scatter: mask against a bucket-id iota and
+        # reduce/select over the whole [nb, rows, P] state in single
+        # full-array ops (loop-free even at nb = 128 for c = 8)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, P), 0) + 1
+        hot = mag[None] == ids  # [nb, 1, P]
+        selx = jnp.sum(jnp.where(hot, bx[...], 0), axis=0)
+        sely = jnp.sum(jnp.where(hot, by[...], 0), axis=0)
+        selz = jnp.sum(jnp.where(hot, bz[...], 0), axis=0)
 
         nx, ny, nz = _madd_t(f, (selx, sely, selz), (xb, yb))
 
-        for b in range(nb):
-            hot = mag == b + 1
-            bx[b] = jnp.where(hot, nx, bx[b])
-            by[b] = jnp.where(hot, ny, by[b])
-            bz[b] = jnp.where(hot, nz, bz[b])
+        bx[...] = jnp.where(hot, nx[None], bx[...])
+        by[...] = jnp.where(hot, ny[None], by[...])
+        bz[...] = jnp.where(hot, nz[None], bz[...])
 
     @pl.when(g == steps - 1)
     def _emit():
-        for b in range(nb):
-            out_ref[0, b] = bx[b]
-            out_ref[1, b] = by[b]
-            out_ref[2, b] = bz[b]
+        out_ref[0] = bx[...]
+        out_ref[1] = by[...]
+        out_ref[2] = bz[...]
 
 
 def _coord_rows(leaf_or_pair):

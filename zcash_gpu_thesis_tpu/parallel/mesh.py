@@ -52,7 +52,7 @@ def default_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 def sharded_msm(group: Group, points, digits, mesh: Mesh, c: int = 4,
                 chunks: int = 16, k_inner: int = 8, axis: str = "data",
-                signed: bool = False):
+                signed: bool = False, impl: str = "xla"):
     """MSM with the point axis sharded over `mesh`.
 
     Each device computes its shard's [W] window partials; the partials are
@@ -62,8 +62,15 @@ def sharded_msm(group: Group, points, digits, mesh: Mesh, c: int = 4,
     """
 
     def local(pts, digs):
-        wsums = M.window_sums(group, pts, digs, c, chunks, k_inner,
-                              signed=signed)
+        if impl == "pallas":
+            from ..ops import msm_pallas as MP
+
+            assert signed, "pallas bucket kernel takes signed digits"
+            wsums = MP.window_sums_pallas(group, pts, digs, c, chunks,
+                                          k_inner)
+        else:
+            wsums = M.window_sums(group, pts, digs, c, chunks, k_inner,
+                                  signed=signed)
         # add a leading axis of size 1 per device: out spec concatenates
         return jax.tree.map(lambda l: l[None], wsums)
 
@@ -91,6 +98,98 @@ def sharded_msm(group: Group, points, digits, mesh: Mesh, c: int = 4,
         ndev = half
     wsums = jax.tree.map(lambda l: l[0], total)
     return M.combine_windows(group, wsums, c)
+
+
+def sharded_msm_host(group: Group, points, digits, mesh: Mesh, c: int = 4,
+                     chunks: int = 16, k_inner: int = 8, axis: str = "data",
+                     signed: bool = True, impl: str = "xla"):
+    """Engine-facing sharded MSM: device bucket work per shard, window
+    partials combined across the mesh, final W-window doubling ladder on
+    the host (the reference's groups->host split, multiexp.rs:2968-2986).
+    Returns a python-int affine point / None."""
+    from ..ops import curve as cv
+    from ..ops.msm import _tree_map
+    from ..oracle import curve as O
+
+    # reuse sharded_msm's shard-local machinery but stop at window sums
+    def local(pts, digs):
+        if impl == "pallas":
+            from ..ops import msm_pallas as MP
+
+            wsums = MP.window_sums_pallas(group, pts, digs, c, chunks,
+                                          k_inner)
+        else:
+            wsums = M.window_sums(group, pts, digs, c, chunks, k_inner,
+                                  signed=signed)
+        return jax.tree.map(lambda l: l[None], wsums)
+
+    out_struct = group.identity(())
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), points), P(axis)),
+        out_specs=jax.tree.map(lambda _: P(axis), out_struct),
+        check_rep=False,
+    )
+    parts = fn(points, digits)
+    ndev = mesh.devices.size
+    total = parts
+    while ndev > 1:
+        half = ndev // 2
+        lo = jax.tree.map(lambda l: l[:half], total)
+        hi = jax.tree.map(lambda l: l[half:], total)
+        total = group.add(lo, hi)
+        ndev = half
+    wsums_proj = jax.tree.map(lambda l: l[0], total)
+    aff = group.to_affine(wsums_proj)
+    if group is cv.G1:
+        wsums = cv.g1_affine_to_ints(aff)
+        add = O.g1_add
+    else:
+        wsums = cv.g2_affine_to_ints(aff)
+        add = O.g2_add
+    acc = None
+    for wsum in reversed(wsums):
+        for _ in range(c):
+            acc = add(acc, acc)
+        acc = add(acc, wsum)
+    return acc
+
+
+def h_poly_sharded(n: int, a, b, c, mesh: Mesh, axis: str = "data"):
+    """The prover's full H(x) block (prover.rs:256-283) with every NTT as
+    a four-step mesh-distributed transform: 3x(iNTT + coset NTT), a*b - c,
+    divide-by-Z on the coset, inverse coset NTT.  Elementwise stages are
+    plain jnp ops (XLA propagates the sharding); the cross-chip transpose
+    inside sharded_ntt rides all_to_all over ICI.
+
+    In/out: Montgomery [n, L] arrays; output is *canonical standard-form*
+    digits with the dropped top coefficient zeroed, matching
+    _BlsDomain.h_poly_dev."""
+    from ..constants import FR_GENERATOR
+    from ..ops import ntt as N2
+
+    FRs = F.FR
+    gen_inv = modinv(FR_GENERATOR, R)
+
+    def ifft(x):
+        out = sharded_ntt(n, x, mesh, inverse=True, axis=axis)
+        return out
+
+    def coset_fft(x):
+        x = F.mont_mul(FRs, x, N2.powers(FR_GENERATOR, n))
+        return sharded_ntt(n, x, mesh, axis=axis)
+
+    av = coset_fft(ifft(a))
+    bv = coset_fft(ifft(b))
+    cv_ = coset_fft(ifft(c))
+    ab = F.mont_mul(FRs, av, bv)
+    ab = F.sub(FRs, ab, cv_)
+    z_inv = modinv((pow(FR_GENERATOR, n, R) - 1) % R, R)
+    ab = F.mont_mul(FRs, ab, F.mont_const(FRs, z_inv, (1,)))
+    h = sharded_ntt(n, ab, mesh, inverse=True, axis=axis)
+    h = F.mont_mul(FRs, h, N2.powers(gen_inv, n))
+    h = F.from_mont(FRs, h)
+    return h.at[-1].set(0)
 
 
 # ---------------------------------------------------------------------------

@@ -335,6 +335,11 @@ def vk_from_bytes(b: bytes, check: bool = True) -> VerifyingKey:
 
 
 def params_to_bytes(params: Parameters) -> bytes:
+    """Byte-identical to bellman's ``Parameters::write``
+    (groth16/mod.rs:216-250): vk, then u32-BE-length-prefixed
+    h/l/a/b_g1/b_g2 vectors of uncompressed points.  ``num_inputs`` /
+    ``num_aux`` are not stored — they are ``len(vk.ic)`` and ``len(l)``
+    by construction, as in the reference."""
     out = io.BytesIO()
     out.write(vk_to_bytes(params.vk))
     for vec, ser in (
@@ -345,11 +350,14 @@ def params_to_bytes(params: Parameters) -> bytes:
         out.write(struct.pack(">I", len(vec)))
         for p in vec:
             out.write(ser(p))
-    out.write(struct.pack(">II", params.num_inputs, params.num_aux))
     return out.getvalue()
 
 
 def params_from_bytes(b: bytes, check: bool = True) -> Parameters:
+    """``Parameters::read`` (groth16/mod.rs:252-382) with checked
+    (``check=True``: curve/subgroup validation per point) and unchecked
+    modes.  Also accepts this library's pre-bellman-exact files that
+    carried a redundant 8-byte num_inputs/num_aux trailer."""
     s = io.BytesIO(b)
     # vk is length-prefixed only in its ic vector; re-parse sequentially
     head = s.read(96 * 3 + 192 * 3)
@@ -362,7 +370,13 @@ def params_from_bytes(b: bytes, check: bool = True) -> Parameters:
                         (192, g2_deserialize)):
         (n,) = struct.unpack(">I", s.read(4))
         vecs.append([de(s.read(ser_len), check) for _ in range(n)])
-    num_inputs, num_aux = struct.unpack(">II", s.read(8))
     h, l, a, b_g1, b_g2 = vecs
+    num_inputs, num_aux = len(vk.ic), len(l)
+    trailer = s.read(8)
+    if trailer:
+        # legacy trailer: must agree with the derived counts
+        t_in, t_aux = struct.unpack(">II", trailer)
+        if (t_in, t_aux) != (num_inputs, num_aux):
+            raise CodecError("legacy trailer disagrees with vector lengths")
     return Parameters(vk=vk, h=h, l=l, a=a, b_g1=b_g1, b_g2=b_g2,
                       num_inputs=num_inputs, num_aux=num_aux)
