@@ -193,6 +193,190 @@ def bench_spend(repeat: int = 3):
     }))
 
 
+def _rand_fr_limbs_np(rng_np, n):
+    """[n, 24] 12-bit limbs of uniform scalars < 2^248 (< r), vectorized
+    (python-int scalar generation is too slow at 2^24)."""
+    import numpy as np
+
+    limbs = rng_np.integers(0, 4096, size=(n, 24), dtype=np.int64)
+    limbs[:, 21:] = 0
+    limbs[:, 20] &= 0xFF
+    return limbs
+
+
+def _digits_np(limbs, c: int):
+    """Vectorized digits_from_ints over a [n, 24] 12-bit limb array."""
+    import numpy as np
+
+    from zcash_gpu_thesis_tpu.constants import FR_BITS
+
+    w_count = -(-FR_BITS // c)
+    out = np.zeros((limbs.shape[0], w_count), np.int32)
+    for w in range(w_count):
+        bit = c * w
+        l0, s0 = divmod(bit, 12)
+        d = limbs[:, l0] >> s0
+        if s0 + c > 12 and l0 + 1 < 24:
+            d = d | (limbs[:, l0 + 1] << (12 - s0))
+        out[:, w] = d & ((1 << c) - 1)
+    return out
+
+
+def bench_large_msm(log_n: int, group_name: str = "g1"):
+    """2^log_n-point MSM through the sliced VMEM bucket sweep
+    (BASELINE configs 3/5; the reference's 10M-point fixture bench,
+    ec.rs:2527-2552), with a bit-exact oracle check: the point stream
+    tiles a small base set, so the true result is sum_j (sum of class-j
+    scalars) * P_j — 64 host scalar-mults, independent of n.
+
+    Prints points/s with vs_baseline against the reference CPU's
+    ~175k points/s (0.75 s / 131k, finalresults.py:7)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.constants import R as FR_MOD
+    from zcash_gpu_thesis_tpu.ops import curve as cv
+    from zcash_gpu_thesis_tpu.ops import msm as M
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+    from zcash_gpu_thesis_tpu.oracle import curve as O
+
+    n = 1 << log_n
+    g2 = group_name == "g2"
+    group = cv.G2 if g2 else cv.G1
+    nbase = 16 if g2 else 64
+    rng = random.Random(0x5DBE6259)
+    rng_np = np.random.default_rng(0x5DBE6259)
+    base = (O.random_g2_points(rng, nbase) if g2
+            else O.random_g1_points(rng, nbase))
+    aff_base = (cv.g2_affine_from_ints(base) if g2
+                else cv.g1_affine_from_ints(base))
+    base_np = __import__("jax").tree.map(
+        lambda l: np.asarray(l).astype(np.int16), aff_base)
+
+    c = 4
+    limbs = _rand_fr_limbs_np(rng_np, n)
+    digits = M.recode_signed(_digits_np(limbs, c), c).astype(np.int8)
+
+    slice_n = min(n, 1 << (17 if g2 else 20))
+    chunks, k_inner = (16, 8)
+
+    def slice_points(s, e):
+        idx = np.arange(s, e) % nbase
+        return __import__("jax").tree.map(lambda l: l[idx], base_np)
+
+    def sweep():
+        total = None
+        for s in range(0, n, slice_n):
+            e = min(s + slice_n, n)
+            wsum = MP._window_sums_pallas_jit(
+                group, slice_points(s, e), jnp.asarray(digits[s:e]),
+                c, chunks, k_inner)
+            total = (wsum if total is None
+                     else MP._add_wsums(group, total, wsum))
+        # force full sync through the tunnel
+        return __import__("jax").tree.map(
+            lambda l: np.asarray(l), total)
+
+    import contextlib
+
+    import jax
+
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() == "cpu":  # smoke-test path
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    with ctx:
+        sweep()  # warmup: compile + first transfers of this size class
+        t0 = time.perf_counter()
+        out = sweep()
+        t = time.perf_counter() - t0
+
+    # combine + oracle check (class sums mod r, vectorized per limb col)
+    proj = __import__("jax").tree.map(jnp.asarray, out)
+    wsums = MP._projective_to_ints(group, proj)
+    add = O.g2_add if g2 else O.g1_add
+    mul = O.g2_mul if g2 else O.g1_mul
+    acc = None
+    for wsum in reversed(wsums):
+        for _ in range(c):
+            acc = add(acc, acc)
+        acc = add(acc, wsum)
+    want = None
+    for j in range(nbase):
+        cls = limbs[j::nbase]
+        tot = sum(int(cls[:, k].sum()) << (12 * k) for k in range(24))
+        want = add(want, mul(base[j], tot % FR_MOD))
+    ok = acc == want
+    print(json.dumps({
+        "metric": f"{group_name}_msm_2^{log_n}",
+        "value": round(t, 4),
+        "unit": "s",
+        "points_per_s": round(n / t),
+        "vs_baseline": round((n / t) / 174_761, 3),
+        "bit_exact": ok,
+    }))
+    assert ok, "large MSM does not match the oracle"
+
+
+def bench_ntt(log_n: int = 23):
+    """2^log_n-point Fr NTT (BASELINE config 5's 2^23 domain): times the
+    production coset H(x)-style chain (coset_fft + icoset_fft) and
+    bit-checks a sparse polynomial's evaluations against host pow().
+
+    butterflies/s counts log_n * n/2 per transform."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.constants import R as FR_MOD
+    from zcash_gpu_thesis_tpu.ops import field as Ff
+    from zcash_gpu_thesis_tpu.ops.ntt import Domain
+
+    n = 1 << log_n
+    d = Domain(n)
+    rng_np = np.random.default_rng(0x5DBE6259)
+    a = _rand_fr_limbs_np(rng_np, n).astype(np.int16)
+
+    def run(x):
+        out = d.icoset_fft(d.coset_fft(x))
+        np.asarray(out[0])  # tunnel-safe sync
+        return out
+
+    run(jnp.asarray(a))  # warmup: compile + transfers
+    t0 = time.perf_counter()
+    run(jnp.asarray(a))
+    t = time.perf_counter() - t0
+    bflies = 2 * log_n * (n // 2)
+
+    # bit-exact sampled check: 4-term polynomial, evals vs host pow()
+    rng = random.Random(7)
+    coeffs = {rng.randrange(n): rng.randrange(FR_MOD) for _ in range(4)}
+    sparse = np.zeros((n, 24), np.int16)
+    for i, v in coeffs.items():
+        mont = v * pow(2, 12 * 24, FR_MOD) % FR_MOD
+        for k in range(24):
+            sparse[i, k] = (mont >> (12 * k)) & 0xFFF
+    evals = d.fft(jnp.asarray(sparse))
+    idxs = [0, 1, n // 2, n - 1]
+    got = Ff.batch_from_limbs(Ff.FR, np.asarray(evals)[idxs])
+    ok = all(
+        g % FR_MOD == sum(v * pow(d.omega, i * e, FR_MOD)
+                          for e, v in coeffs.items()) % FR_MOD
+        for g, i in zip(got, idxs)
+    )
+    print(json.dumps({
+        "metric": f"fr_ntt_2^{log_n}_coset_chain",
+        "value": round(t, 4),
+        "unit": "s",
+        "butterflies_per_s": round(bflies / t),
+        "bit_exact": ok,
+    }))
+    assert ok, "NTT sampled evaluations do not match host pow()"
+
+
 def main():
     import jax
 
@@ -251,21 +435,34 @@ def main():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["msm", "prover", "spend"],
+    ap.add_argument("--mode",
+                    choices=["msm", "prover", "spend", "msm20", "msm24",
+                             "ntt23", "large"],
                     default="msm")
     ap.add_argument("--scale", type=int, default=1,
                     help="divide the prover-replay sizes (smoke testing)")
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--log-n", type=int, default=0,
+                    help="override log2(n) for mode=large")
+    ap.add_argument("--group", choices=["g1", "g2"], default="g1")
     ns = ap.parse_args()
     mode = ns.mode
-    if mode in ("prover", "spend"):
+    if mode == "msm":
+        main()
+    else:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         if mode == "prover":
             bench_prover(ns.scale)
-        else:
+        elif mode == "spend":
             bench_spend(ns.repeat)
-    else:
-        main()
+        elif mode == "msm20":
+            bench_large_msm(20, ns.group)
+        elif mode == "msm24":
+            bench_large_msm(24, "g1")
+        elif mode == "ntt23":
+            bench_ntt(23)
+        elif mode == "large":
+            bench_large_msm(ns.log_n or 20, ns.group)

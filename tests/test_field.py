@@ -225,3 +225,31 @@ def test_mont_mul_acc_fused(rng, name, k):
         for j in range(N)
     ]
     assert _values(spec, got) == want
+
+
+@pytest.mark.parametrize("name", SPECS)
+def test_pallas_redc_backend_parity(rng, name, monkeypatch):
+    """field_t's MXU const-conv REDC (bf16 matmuls with 7-bit operand
+    splits) is bit-identical to the VPU pad-and-add path, for mont_mul
+    and the fused mont_mul_acc, including lazy operands near 2B."""
+    from zcash_gpu_thesis_tpu.ops import field_t as FT
+
+    spec, _ = SPECS[name]
+    p = spec.modulus
+    edge = [0, 1, p - 1, p - 2]
+    xs = [edge + _rand_elems(rng, spec, N - len(edge)) for _ in range(4)]
+    a, b, c, d = [
+        jnp.asarray(ints_to_limbs(v, spec.n_limbs)).T for v in xs
+    ]
+
+    def run():
+        m = np.asarray(FT.mont_mul(spec, a, b))
+        acc = np.asarray(FT.mont_mul_acc(spec, [(a, b), (c, d)]))
+        return m, acc
+
+    monkeypatch.setenv("ZKTPU_PALLAS_REDC", "vpu")
+    m_vpu, acc_vpu = run()
+    monkeypatch.setenv("ZKTPU_PALLAS_REDC", "mxu")
+    m_mxu, acc_mxu = run()
+    assert (m_vpu == m_mxu).all()
+    assert (acc_vpu == acc_mxu).all()

@@ -183,3 +183,47 @@ def test_g1_msm_pallas_interpret_c8(g1pts):
     with pltpu.force_tpu_interpret_mode():
         got = MP.msm_host_pallas(C.G1, aff, sd, 8, 2, 2)
     assert got == O.g1_msm(g1pts, scalars)
+
+
+@pytest.mark.slow
+def test_g1_msm_pallas_sliced(g1pts):
+    """The large-n slice sweep (window_sums_pallas_sliced): n > slice_n
+    splits into fixed-size kernel passes whose [W] window sums add
+    projectively — must be bit-equal in value to the one-shot path,
+    including a ragged final slice padded with infinity/digit-0."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+
+    rng = random.Random(82)
+    pts = [g1pts[i % len(g1pts)] for i in range(40)]
+    scalars = [rng.randrange(R) for _ in pts]
+    scalars[0] = 0
+    aff = C.g1_affine_from_ints(pts)
+    sd = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+    with pltpu.force_tpu_interpret_mode():
+        got = MP.msm_host_pallas(C.G1, aff, sd, 4, 4, 2, slice_n=16)
+    assert got == O.g1_msm(pts, scalars)
+
+
+@pytest.mark.slow
+def test_g1_msm_pallas_device_combine(g1pts):
+    """msm_host_pallas_fused: the fully device-side combine (bucket
+    kernel + suffix + W-window ladder in one executable) matches the
+    oracle on both the one-shot and the sliced path."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+
+    rng = random.Random(83)
+    pts = [g1pts[i % len(g1pts)] for i in range(40)]
+    scalars = [rng.randrange(R) for _ in pts]
+    aff = C.g1_affine_from_ints(pts)
+    sd = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+    want = O.g1_msm(pts, scalars)
+    with pltpu.force_tpu_interpret_mode():
+        assert MP.msm_host_pallas_fused(C.G1, aff, sd, 4, 4, 2) == want
+        assert MP.msm_host_pallas_fused(
+            C.G1, aff, sd, 4, 4, 2, slice_n=16) == want

@@ -62,6 +62,21 @@ def redc_mxu() -> bool:
     return _backend() != "cpu"
 
 
+def pallas_redc_mxu() -> bool:
+    """Pallas-side REDC const-convs as exact bf16 MXU matmuls (field_t).
+
+    Default on for every backend: the math is bit-identical to the VPU
+    pad-and-add path (7-bit operand splits keep all products/sums exact
+    in bf16/f32), it moves ~40% of a Montgomery multiply's MACs off the
+    VPU, and it shrinks the unrolled Mosaic graph (the G2 kernel's
+    compile-time hog).  ZKTPU_PALLAS_REDC=vpu restores the old path.
+    """
+    mode = os.environ.get("ZKTPU_PALLAS_REDC")
+    if mode:
+        return mode == "mxu"
+    return True
+
+
 def g2_msm_impl() -> str:
     """G2 MSM backend: 'pallas' (VMEM bucket kernel) or 'xla' (scan path).
 

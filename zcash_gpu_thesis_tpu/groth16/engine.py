@@ -308,7 +308,12 @@ class BlsEngine:
             from ..ops import msm_pallas as MP
 
             ck = (16, 8) if group_name == "g1" else g2_pallas_params()
-            return MP.msm_host_pallas(group, aff, digits, 4, *ck)
+            # above the slice floor, sweep fixed-size kernel passes so one
+            # compiled executable serves every circuit size (the G2 Mosaic
+            # compile is the costly one; G1 slices at 2^20 bound HBM)
+            sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+            return MP.msm_host_pallas(group, aff, digits, 4, *ck,
+                                      slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
             return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)
         return M.msm_host(group, aff, digits, 4, self.msm_chunks,
@@ -347,10 +352,13 @@ class BlsEngine:
 
         impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
         if impl == "pallas":
+            from ..config import g2_pad_floor
             from ..ops import msm_pallas as MP
 
             ck = (16, 8) if group_name == "g1" else g2_pallas_params()
-            return MP.msm_host_pallas(group, aff, digits, 4, *ck)
+            sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+            return MP.msm_host_pallas(group, aff, digits, 4, *ck,
+                                      slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
             # XLA G2 fallback sized for TPU
             return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)

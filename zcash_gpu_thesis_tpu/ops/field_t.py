@@ -12,7 +12,11 @@ Bit-identical to ``ops.field`` up to transposition (tested).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import LIMB_BITS
 from .field import LMAX, MASK, FieldSpec
@@ -94,7 +98,7 @@ def _conv(a, b, n):
     return acc
 
 
-def _conv_const(a, digits, out_len: int):
+def _conv_const_vpu(a, digits, out_len: int):
     acc = jnp.zeros((out_len,) + a.shape[1:], dtype=jnp.int32)
     n = a.shape[0]
     tail_pad = ((0, 0),) * (a.ndim - 1)
@@ -109,23 +113,104 @@ def _conv_const(a, digits, out_len: int):
     return acc
 
 
-def _redc(spec: FieldSpec, t):
+_T_CACHE: dict = {}
+
+
+def _toeplitz_stacked(digits, n: int, out_len: int) -> np.ndarray:
+    """[2*out_len, n] f32 matrix [T & 127; T >> 7] with T[k, i] =
+    digits[k - i] — the transposed-layout Toeplitz for ``T @ a``."""
+    key = (np.asarray(digits, np.int32).tobytes(), n, out_len)
+    cached = _T_CACHE.get(key)
+    if cached is None:
+        t = np.zeros((out_len, n), dtype=np.int32)
+        for k in range(out_len):
+            for i in range(n):
+                j = k - i
+                if 0 <= j < len(digits):
+                    t[k, i] = int(digits[j])
+        cached = np.concatenate([t & 127, t >> 7], axis=0).astype(
+            np.float32
+        )
+        _T_CACHE[key] = cached
+    return cached
+
+
+def _apply_conv_mxu(a, w, out_len: int):
+    """Apply a stacked [2*out_len, n] split-Toeplitz matrix (see
+    ``_toeplitz_stacked``) to limbs ``a`` [n, P] as two exact MXU matmuls.
+
+    Both the Toeplitz constant (12-bit digits) and the limbs (<= 2^13
+    after rippling) split into 7-bit halves, so every matmul input is an
+    integer <= 127 — exact in bf16 — and every accumulated partial sum is
+    <= 33 * 127^2 < 2^20 — exact in the MXU's f32 accumulator at DEFAULT
+    (single-pass bf16) precision.  Recombination with <<7 / <<14 happens
+    in int32.  Bit-identical to ``_conv_const_vpu``; same mathematics as
+    field._conv_const_mxu but transposed and in bf16 (Mosaic's integer
+    matmul support is generation-dependent; its f32 dot is proven here
+    by the bucket kernel's lane-broadcast matmul).
+    """
+    a_lo = (a & 127).astype(jnp.float32)
+    a_hi = (a >> 7).astype(jnp.float32)
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    lo = dot(w, a_lo)  # [T_lo @ a_lo ; T_hi @ a_lo]
+    hi = dot(w, a_hi)  # [T_lo @ a_hi ; T_hi @ a_hi]
+    ll = lo[:out_len].astype(jnp.int32)
+    hl = lo[out_len:].astype(jnp.int32)
+    lh = hi[:out_len].astype(jnp.int32)
+    hh = hi[out_len:].astype(jnp.int32)
+    return ll + ((hl + lh) << 7) + (hh << 14)
+
+
+def redc_tables(spec: FieldSpec):
+    """Host numpy (w_nprime, w_p) stacked split-Toeplitz matrices for the
+    two REDC convolutions — pass these into a Pallas kernel as inputs
+    (captured jnp constants are rejected by pallas_call) and hand the
+    traced refs to ``mont_mul``/``mont_mul_acc`` via ``tables=``."""
+    L = spec.n_limbs
+    return (
+        _toeplitz_stacked(spec.nprime_digits, L, L),
+        _toeplitz_stacked(spec.p_digits, L, 2 * L),
+    )
+
+
+def _conv_const(a, digits, out_len: int):
+    from ..config import pallas_redc_mxu
+
+    if pallas_redc_mxu():
+        n = a.shape[0]
+        w = jnp.asarray(_toeplitz_stacked(digits, n, out_len))
+        return _apply_conv_mxu(a, w, out_len)
+    return _conv_const_vpu(a, digits, out_len)
+
+
+def _redc(spec: FieldSpec, t, tables=None):
     """Shared Montgomery reduction tail: ``t`` is a [2L, P] product array
     with limbs already rippled to ~12 bits (same class as the single-
-    product path feeds it)."""
+    product path feeds it).  ``tables`` (from ``redc_tables``, as traced
+    kernel inputs) routes the two constant convolutions through the MXU
+    even inside a Pallas kernel."""
     L = spec.n_limbs
-    m = _ripple_mod(_conv_const(t[:L], spec.nprime_digits, L), 3)
-    s = _ripple(_conv_const(m, spec.p_digits, 2 * L) + t, 3)
+    if tables is not None:
+        w_np, w_p = tables
+        m = _ripple_mod(_apply_conv_mxu(t[:L], w_np, L), 3)
+        s = _ripple(_apply_conv_mxu(m, w_p, 2 * L) + t, 3)
+    else:
+        m = _ripple_mod(_conv_const(t[:L], spec.nprime_digits, L), 3)
+        s = _ripple(_conv_const(m, spec.p_digits, 2 * L) + t, 3)
     carry = jnp.any(s[:L] != 0, axis=0, keepdims=True).astype(jnp.int32)
     out = s[L:]
     return jnp.concatenate([out[:1] + carry, out[1:]], axis=0)
 
 
-def mont_mul(spec: FieldSpec, a, b):
-    return _redc(spec, _ripple(_conv(a, b, spec.n_limbs), 3))
+def mont_mul(spec: FieldSpec, a, b, tables=None):
+    return _redc(spec, _ripple(_conv(a, b, spec.n_limbs), 3), tables)
 
 
-def mont_mul_acc(spec: FieldSpec, pairs):
+def mont_mul_acc(spec: FieldSpec, pairs, tables=None):
     """REDC(sum of products) — one shared reduction for up to 4 products.
 
     ``pairs`` is a sequence of (x, y) limb arrays; all products are added
@@ -144,7 +229,7 @@ def mont_mul_acc(spec: FieldSpec, pairs):
     for x, y in pairs:
         p = _ripple(_conv(x, y, L), 1)
         t = p if t is None else t + p
-    return _redc(spec, _ripple(t, 2))
+    return _redc(spec, _ripple(t, 2), tables)
 
 
 def mont_square(spec: FieldSpec, a):

@@ -51,9 +51,12 @@ class _Ft:
     def __init__(self, spec, b3: int):
         self.spec = spec
         self.b3 = b3
+        # traced REDC split-Toeplitz tables (set by the kernel from its
+        # input refs; pallas_call rejects captured jnp constants)
+        self.tables = None
 
     def mul(self, a, b):
-        return FT.mont_mul(self.spec, a, b)
+        return FT.mont_mul(self.spec, a, b, self.tables)
 
     def add(self, a, b):
         return FT.add(self.spec, a, b)
@@ -72,12 +75,12 @@ class _Ft:
 
     def mul_pair(self, a, b, c, d):
         """a*b + c*d with one shared REDC (field_t.mont_mul_acc)."""
-        return FT.mont_mul_acc(self.spec, [(a, b), (c, d)])
+        return FT.mont_mul_acc(self.spec, [(a, b), (c, d)], self.tables)
 
     def mul_pair_sub(self, a, b, c, d):
         """a*b - c*d with one shared REDC."""
         return FT.mont_mul_acc(
-            self.spec, [(a, b), (FT.neg(self.spec, c), d)]
+            self.spec, [(a, b), (FT.neg(self.spec, c), d)], self.tables
         )
 
     def one_rows(self, lanes: int):
@@ -100,6 +103,7 @@ class _Ft2:
         self.spec = spec
         self.b3 = b3
         self.L = spec.n_limbs
+        self.tables = None
 
     def _s(self, v):
         return v[: self.L], v[self.L :]
@@ -133,9 +137,11 @@ class _Ft2:
         sp = self.spec
         a0, a1 = self._s(a)
         b0, b1 = self._s(b)
-        t0 = FT.mont_mul(sp, a0, b0)
-        t1 = FT.mont_mul(sp, a1, b1)
-        t2 = FT.mont_mul(sp, FT.add(sp, a0, a1), FT.add(sp, b0, b1))
+        t0 = FT.mont_mul(sp, a0, b0, self.tables)
+        t1 = FT.mont_mul(sp, a1, b1, self.tables)
+        t2 = FT.mont_mul(
+            sp, FT.add(sp, a0, a1), FT.add(sp, b0, b1), self.tables
+        )
         return self._j(
             FT.sub(sp, t0, t1), FT.sub(sp, FT.sub(sp, t2, t0), t1)
         )
@@ -159,10 +165,10 @@ class _Ft2:
         na1 = FT.neg(sp, a1)
         nc1 = FT.neg(sp, c1)
         real = FT.mont_mul_acc(
-            sp, [(a0, b0), (na1, b1), (c0, d0), (nc1, d1)]
+            sp, [(a0, b0), (na1, b1), (c0, d0), (nc1, d1)], self.tables
         )
         imag = FT.mont_mul_acc(
-            sp, [(a0, b1), (a1, b0), (c0, d1), (c1, d0)]
+            sp, [(a0, b1), (a1, b0), (c0, d1), (c1, d0)], self.tables
         )
         return self._j(real, imag)
 
@@ -209,11 +215,15 @@ def _madd_t(f, acc, aff):
     return (x3, y3, z3)
 
 
-def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
-            bx, by, bz, *, f, k_inner, chunks, w_count, nb, steps):
+def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, wnp_ref,
+            wp_ref, out_ref, bx, by, bz, *, f, k_inner, chunks, w_count,
+            nb, steps, redc_mxu):
     g = pl.program_id(0)
     rows = f.nc * FQ.n_limbs
     P = chunks * w_count
+    # REDC const-convs ride the MXU: hand the split-Toeplitz inputs to
+    # the field adapter as traced values (see field_t.redc_tables)
+    f.tables = (wnp_ref[...], wp_ref[...]) if redc_mxu else None
 
     @pl.when(g == 0)
     def _init():
@@ -224,11 +234,16 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
 
     expand = expand_ref[...]  # [chunks, P] f32 0/1 block-expansion matrix
 
-    for t in range(k_inner):
-        x = xs_ref[0, :, t * chunks : (t + 1) * chunks]  # [rows, chunks]
-        y = ys_ref[0, :, t * chunks : (t + 1) * chunks]
-        mag = mag_ref[0, t : t + 1]    # [1, P]
-        sign = sign_ref[0, t : t + 1]  # [1, P]
+    # The inner point loop is a lax.fori_loop, not a Python unroll: the
+    # loop index only touches LEADING (untiled) block dims, so Mosaic
+    # traces the madd body once — the unrolled form made the Fq2 kernel's
+    # compile ~1h per grid size (axon tunnel), the single biggest
+    # operational cost of round 1.
+    def _body(t, carry):
+        x = xs_ref[0, t]  # [rows, chunks]
+        y = ys_ref[0, t]
+        mag = mag_ref[0, t]    # [1, P]
+        sign = sign_ref[0, t]  # [1, P]
         # chunk -> (chunk, window) lane broadcast: exact f32 matmul with
         # the one-hot expansion matrix (single 1 per column => exact)
         # HIGHEST precision: the MXU's default bf16 passes would round
@@ -259,6 +274,9 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, out_ref,
         bx[...] = jnp.where(hot, nx[None], bx[...])
         by[...] = jnp.where(hot, ny[None], by[...])
         bz[...] = jnp.where(hot, nz[None], bz[...])
+        return carry
+
+    jax.lax.fori_loop(0, k_inner, _body, 0)
 
     @pl.when(g == steps - 1)
     def _emit():
@@ -296,28 +314,33 @@ def bucket_accumulate(group: Group, points, digits, c: int = 4,
     n_pad = steps * grid
     points = padded_affine(group, points, n_pad)
     digits = jnp.pad(digits, ((0, n_pad - n), (0, 0)))
+    # accept narrow upload dtypes (int16 limbs / int8 digits halve the
+    # host->device transfer for 2^20..2^24 streams); widen on device
+    digits = digits.astype(jnp.int32)
     x, y, inf = points
-    x, y = _coord_rows(x), _coord_rows(y)
+    x = _coord_rows(x).astype(jnp.int32)
+    y = _coord_rows(y).astype(jnp.int32)
 
     # digit 0 for padded/infinity points
     digits = jnp.where(inf[:, None], 0, digits)
     mag = jnp.abs(digits)
     sign = (digits < 0).astype(jnp.int32)
 
-    # [steps, rows, k*chunks] transposed coordinate streams
+    # [steps, k, rows, chunks] transposed coordinate streams (the inner
+    # loop indexes t on the leading untiled dims only)
     def arrange_coord(leaf):
-        a = leaf.reshape(steps, k_inner * chunks, rows)
-        return jnp.transpose(a, (0, 2, 1))
+        a = leaf.reshape(steps, k_inner, chunks, rows)
+        return jnp.transpose(a, (0, 1, 3, 2))
 
     xs_t = arrange_coord(x)
     ys_t = arrange_coord(y)
-    # [steps, k, chunks*W] digit planes (chunk-major within a plane)
+    # [steps, k, 1, chunks*W] digit planes (chunk-major within a plane)
     P = chunks * w_count
     mags = mag.reshape(steps, k_inner, chunks, w_count).reshape(
-        steps, k_inner, P
+        steps, k_inner, 1, P
     )
     signs = sign.reshape(steps, k_inner, chunks, w_count).reshape(
-        steps, k_inner, P
+        steps, k_inner, 1, P
     )
 
     # 0/1 expansion: expand[c, c*W + w] = 1
@@ -326,23 +349,31 @@ def bucket_accumulate(group: Group, points, digits, c: int = 4,
         expand[ci, ci * w_count : (ci + 1) * w_count] = 1.0
     expand = jnp.asarray(expand)
 
+    from ..config import pallas_redc_mxu
+
+    w_np, w_p = FT.redc_tables(FQ)
     kernel = functools.partial(
         _kernel, f=f, k_inner=k_inner, chunks=chunks,
         w_count=w_count, nb=nb, steps=steps,
+        redc_mxu=pallas_redc_mxu(),
     )
     out = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, rows, k_inner * chunks), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, k_inner, rows, chunks),
+                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_inner, rows, chunks),
+                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_inner, 1, P), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, k_inner * chunks), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_inner, P), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_inner, P), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, k_inner, 1, P), lambda g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunks, P), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_np.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_p.shape, lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, nb, rows, P), lambda g: (0, 0, 0, 0),
@@ -356,7 +387,8 @@ def bucket_accumulate(group: Group, points, digits, c: int = 4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(xs_t, ys_t, mags, signs, expand)
+    )(xs_t, ys_t, mags, signs, expand, jnp.asarray(w_np),
+      jnp.asarray(w_p))
 
     # [3, nb, rows, P] -> coordinate pytrees [chunks, W, nb, L]
     def untangle(coord):
@@ -407,6 +439,49 @@ _window_sums_pallas_jit = jax.jit(
 )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def msm_pallas_device(group: Group, points, digits, c: int = 4,
+                      chunks: int = 32, k_inner: int = 4,
+                      slice_n: int = 1 << 20):
+    """Whole MSM fused on device: bucket kernel + suffix sums + the
+    W-window doubling-ladder combine (ops.msm.combine_windows) in one
+    executable — the readback is a single projective point instead of
+    [W] window sums, so the tunnel round trip and the host ladder drop
+    out of the latency path.  The ladder is ~255 sequential batch-1 adds,
+    negligible *inside* a jit (it only hurt as eager per-op dispatch)."""
+    from .msm import combine_windows
+
+    wsums = window_sums_pallas(group, points, digits, c, chunks, k_inner)
+    return combine_windows(group, wsums, c)
+
+
+def msm_host_pallas_fused(group: Group, points, digits, c: int = 4,
+                          chunks: int = 32, k_inner: int = 4,
+                          slice_n: int = 1 << 20):
+    """msm_host_pallas with the device-side combine: returns python-int
+    affine (None for identity).  Large n still sweeps slices (the slice
+    partials stay projective on device; only the final combine runs)."""
+    n = digits.shape[0]
+    if n <= slice_n:
+        proj = msm_pallas_device(group, points, digits, c, chunks,
+                                 k_inner, slice_n)
+    else:
+        wsums = window_sums_pallas_sliced(group, points, digits, c,
+                                          chunks, k_inner, slice_n)
+        from .msm import combine_windows
+
+        proj = jax.jit(combine_windows, static_argnums=(0, 2))(
+            group, wsums, c)
+    pt = _projective_to_ints(group, _tree_map_point(proj))
+    return pt[0]
+
+
+def _tree_map_point(proj):
+    """Batch a single projective point to shape [1] for the shared
+    int-conversion helper."""
+    return jax.tree.map(lambda l: l[None], proj)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def window_sums_affine_pallas(group: Group, points, digits, c: int,
                               chunks: int, k_inner: int):
@@ -451,14 +526,64 @@ def _projective_to_ints(group: Group, proj):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _add_wsums(group: Group, a, b):
+    return group.add(a, b)
+
+
+def window_sums_pallas_sliced(group: Group, points, digits, c: int = 4,
+                              chunks: int = 32, k_inner: int = 4,
+                              slice_n: int = 1 << 20):
+    """[W] projective window sums for arbitrarily large n, as a serial
+    sweep of fixed-size kernel launches.
+
+    Window sums are linear in the point stream, so an n-point MSM splits
+    into ceil(n / slice_n) independent ``slice_n``-point bucket passes
+    whose [W] sums add projectively — one compiled executable (the last
+    slice pads with infinity/digit-0, which the kernel skips), bounded
+    HBM residency (one slice's transposed streams at a time), and
+    host->device upload interleaved with compute.  This is the 2^20..2^24
+    path (BASELINE configs 3/5; the reference's 10M-point fixture,
+    ec.rs:2527-2552) — the VMEM bucket state is size-independent, only
+    the streamed inputs scale.
+
+    ``points`` leaves may be host numpy arrays (sliced lazily, uploaded
+    per slice) or device arrays.
+    """
+    n = digits.shape[0]
+    if n <= slice_n:
+        return _window_sums_pallas_jit(
+            group, points, digits, c, chunks, k_inner
+        )
+    from .msm import _tree_map, padded_affine
+
+    total = None
+    for s in range(0, n, slice_n):
+        e = min(s + slice_n, n)
+        pts = _tree_map(lambda l: l[s:e], points)
+        digs = jnp.asarray(digits[s:e])
+        if e - s < slice_n:
+            pts = padded_affine(group, pts, slice_n)
+            digs = jnp.pad(digs, ((0, slice_n - (e - s)), (0, 0)))
+        wsum = _window_sums_pallas_jit(
+            group, pts, digs, c, chunks, k_inner
+        )
+        total = wsum if total is None else _add_wsums(group, total, wsum)
+    return total
+
+
 def msm_host_pallas(group: Group, points, digits, c: int = 4,
-                    chunks: int = 32, k_inner: int = 4):
+                    chunks: int = 32, k_inner: int = 4,
+                    slice_n: int = 1 << 20):
     """Full MSM: VMEM bucket kernel + host doubling-ladder combine.
     `digits` must be SIGNED (ops.msm.recode_signed).  Works for G1 and
-    G2 (the kernel is field-generic via the adapters)."""
+    G2 (the kernel is field-generic via the adapters); n above `slice_n`
+    streams through fixed-size slices (window_sums_pallas_sliced)."""
     from ..oracle import curve as O
 
-    proj = _window_sums_pallas_jit(group, points, digits, c, chunks, k_inner)
+    proj = window_sums_pallas_sliced(
+        group, points, digits, c, chunks, k_inner, slice_n
+    )
     wsums = _projective_to_ints(group, proj)
     g2 = group.f.name == "g2"
     add = O.g2_add if g2 else O.g1_add

@@ -103,6 +103,9 @@ class Domain:
         """Decimation-in-time radix-2 over the leading axis of [n, L]."""
         n, L = self.n, FR.n_limbs
         assert a.shape == (n, L), f"expected [{n}, {L}], got {a.shape}"
+        # narrow upload dtypes (int16 limbs halve the host->device
+        # transfer at 2^23) widen on device
+        a = a.astype(jnp.int32)
         a = jnp.take(a, self._bitrev, axis=0)
         pw = powers(omega_int, n // 2)  # omega^j, j < n/2
         for s in range(self.log_n):

@@ -45,6 +45,54 @@ def default_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def multihost_mesh(n_hosts: int, chips_per_host: int | None = None) -> Mesh:
+    """(hosts x chips) 2D mesh: axis "host" spans DCN, axis "data" spans
+    the chips within a host (ICI).  Shard the MSM point stream over the
+    compound ("host", "data") axis — window partials are tiny, so the
+    cross-host combine is one small DCN collective; shard NTT transposes
+    over "data" only when possible so all_to_all rides ICI.
+
+    On a real pod slice call ``init_multihost()`` first so jax.devices()
+    spans all processes; under the driver's CPU dryrun this shapes the
+    virtual devices identically.
+    """
+    devs = jax.devices()
+    if chips_per_host is None:
+        chips_per_host = max(len(devs) // n_hosts, 1)
+    devs = devs[: n_hosts * chips_per_host]
+    return Mesh(
+        np.asarray(devs).reshape(n_hosts, chips_per_host),
+        ("host", "data"),
+    )
+
+
+def init_multihost() -> None:
+    """Initialize ``jax.distributed`` from ZKTPU_COORD / ZKTPU_NPROC /
+    ZKTPU_PROC_ID env vars (coordinator address, process count, this
+    process's id).  No-op when unset, so single-process runs and the CPU
+    dryrun need no changes; on a real N-host pod slice each host process
+    calls this before touching jax.devices()."""
+    import os
+
+    coord = os.environ.get("ZKTPU_COORD")
+    if not coord:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["ZKTPU_NPROC"]),
+        process_id=int(os.environ["ZKTPU_PROC_ID"]),
+    )
+
+
+def _axis_size(mesh: Mesh, axis) -> int:
+    """Total extent of a (possibly compound) mesh axis name."""
+    names = (axis,) if isinstance(axis, str) else tuple(axis)
+    size = 1
+    for nm in names:
+        size *= mesh.shape[nm]
+    return size
+
+
 # ---------------------------------------------------------------------------
 # Sharded MSM.
 # ---------------------------------------------------------------------------
@@ -88,7 +136,7 @@ def sharded_msm(group: Group, points, digits, mesh: Mesh, c: int = 4,
     )
     parts = fn(points, digits)  # leaves [n_dev, W, ...]
 
-    ndev = mesh.devices.size
+    ndev = _axis_size(mesh, axis)
     total = parts
     while ndev > 1:
         half = ndev // 2
@@ -131,7 +179,7 @@ def sharded_msm_host(group: Group, points, digits, mesh: Mesh, c: int = 4,
         check_rep=False,
     )
     parts = fn(points, digits)
-    ndev = mesh.devices.size
+    ndev = _axis_size(mesh, axis)
     total = parts
     while ndev > 1:
         half = ndev // 2
@@ -224,7 +272,7 @@ def sharded_ntt(n: int, a, mesh: Mesh, inverse: bool = False,
     the same way.  Stages: local length-n1 FFTs, twiddles, all_to_all
     transpose, local length-n2 FFTs.
     """
-    ndev = mesh.devices.size
+    ndev = _axis_size(mesh, axis)
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     l1 = log_n // 2
