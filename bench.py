@@ -409,9 +409,11 @@ def main():
 
     def run():
         # VMEM-resident bucket kernel on TPU; XLA scan path on CPU.
-        # Host transfer of the window sums forces a full device sync.
+        # The device-side window combine means the sync/readback is one
+        # projective point, not [W] sums + a python-int ladder.
         if cfg.impl == "pallas":
-            return MP.msm_host_pallas(G1, aff, digits, c, chunks, k_inner)
+            return MP.msm_host_pallas_fused(G1, aff, digits, c, chunks,
+                                            k_inner)
         return M.msm_host(G1, aff, digits, c, 256, k_inner, signed=True)
 
     run()  # warmup/compile

@@ -312,8 +312,10 @@ class BlsEngine:
             # compiled executable serves every circuit size (the G2 Mosaic
             # compile is the costly one; G1 slices at 2^20 bound HBM)
             sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
-            return MP.msm_host_pallas(group, aff, digits, 4, *ck,
-                                      slice_n=sl)
+            # device-side window combine: readback is ONE projective point
+            # instead of [W] sums + a python-int ladder (~0.24 s/MSM saved)
+            return MP.msm_host_pallas_fused(group, aff, digits, 4, *ck,
+                                            slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
             return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)
         return M.msm_host(group, aff, digits, 4, self.msm_chunks,
@@ -357,8 +359,8 @@ class BlsEngine:
 
             ck = (16, 8) if group_name == "g1" else g2_pallas_params()
             sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
-            return MP.msm_host_pallas(group, aff, digits, 4, *ck,
-                                      slice_n=sl)
+            return MP.msm_host_pallas_fused(group, aff, digits, 4, *ck,
+                                            slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
             # XLA G2 fallback sized for TPU
             return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)

@@ -388,8 +388,16 @@ def mont_mul(spec: FieldSpec, a, b):
     Output < p*(1 + 2^-11) + tiny — comfortably inside the invariant.
     """
     L = spec.n_limbs
-    t = _ripple(_conv(a, b), 3)
-    m = _ripple_mod(_conv_const(t[..., :L], spec.nprime_digits, L), 3)
+    # Ripple-round budget: raw conv limbs are < 2^30, so TWO rounds bring
+    # them to <= 2^12 + 2^6 — enough for every consumer (the REDC const-
+    # conv splits need < 2^14; follow-on products stay < 2^30).  Only the
+    # final s pass uses three rounds, to restore the standing <= 2^12+2
+    # limb invariant.  The low-half zero-test is round-count independent:
+    # rippling preserves "low-half value in {0, R}" (each carry escaping
+    # into limb L subtracts exactly R), and non-negative limbs are all
+    # zero iff the value is zero.
+    t = _ripple(_conv(a, b), 2)
+    m = _ripple_mod(_conv_const(t[..., :L], spec.nprime_digits, L), 2)
     s = _ripple(_conv_const(m, spec.p_digits, 2 * L) + t, 3)
     # Low half's value is 0 or exactly R (it is ==0 mod R and < R(1+eps)):
     # the carry into the high half is 1 unless every low limb is zero.

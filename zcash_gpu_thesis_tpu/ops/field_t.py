@@ -194,12 +194,19 @@ def _redc(spec: FieldSpec, t, tables=None):
     kernel inputs) routes the two constant convolutions through the MXU
     even inside a Pallas kernel."""
     L = spec.n_limbs
+    # m needs only two ripple rounds: raw const-conv limbs are < 2^31, so
+    # two rounds bring them to <= 2^12 + 2^7 < 2^13 — value-exact under
+    # the final mask (at most one overflow bit per limb) and inside the
+    # < 2^14 bound the 7-bit MXU splits need.  s keeps three rounds to
+    # restore the standing <= 2^12+2 limb invariant; its low-half
+    # zero-test is round-count independent (rippling preserves "low value
+    # in {0, R}" — each carry escaping into limb L subtracts exactly R).
     if tables is not None:
         w_np, w_p = tables
-        m = _ripple_mod(_apply_conv_mxu(t[:L], w_np, L), 3)
+        m = _ripple_mod(_apply_conv_mxu(t[:L], w_np, L), 2)
         s = _ripple(_apply_conv_mxu(m, w_p, 2 * L) + t, 3)
     else:
-        m = _ripple_mod(_conv_const(t[:L], spec.nprime_digits, L), 3)
+        m = _ripple_mod(_conv_const(t[:L], spec.nprime_digits, L), 2)
         s = _ripple(_conv_const(m, spec.p_digits, 2 * L) + t, 3)
     carry = jnp.any(s[:L] != 0, axis=0, keepdims=True).astype(jnp.int32)
     out = s[L:]
@@ -207,7 +214,10 @@ def _redc(spec: FieldSpec, t, tables=None):
 
 
 def mont_mul(spec: FieldSpec, a, b, tables=None):
-    return _redc(spec, _ripple(_conv(a, b, spec.n_limbs), 3), tables)
+    # Two ripple rounds suffice pre-REDC: raw conv limbs < 2^30 -> two
+    # rounds give <= 2^12 + 2^6, inside the < 2^14 bound the REDC's 7-bit
+    # MXU splits need (and < 2^30 products downstream in s = m*p + t).
+    return _redc(spec, _ripple(_conv(a, b, spec.n_limbs), 2), tables)
 
 
 def mont_mul_acc(spec: FieldSpec, pairs, tables=None):
@@ -220,16 +230,24 @@ def mont_mul_acc(spec: FieldSpec, pairs, tables=None):
     (two 33-tap constant convolutions + ripples) per extra product — the
     dominant cost in the curve formulas' a*b ± c*d terms.
 
-    Overflow audit (int32 lanes): each raw product limb <= 33*LMAX^2 ~
-    2^30; after one ripple round <= MASK + 2^18; the sum of 4 such <=
-    2^20.3; two more ripple rounds bring limbs to <= MASK + 1, the same
-    class ``_redc`` sees from the single-product path."""
-    t = None
+    Overflow audit (int32 lanes): each raw product limb <= 33*LMAX^2 <
+    2^29.1, so a PAIR of raw products sums to < 2^30.1 — still exact in
+    int32.  Two raw products + two ripple rounds give limbs <= MASK+2^7;
+    for 3-4 products, pair-sums take one round each (limbs <= MASK+2^18.1,
+    so the sum of two rippled pair-sums < 2^19.2) and one final round
+    settles limbs <= MASK + 2^8 — inside the < 2^14 REDC-split bound
+    either way."""
     L = spec.n_limbs
-    for x, y in pairs:
-        p = _ripple(_conv(x, y, L), 1)
-        t = p if t is None else t + p
-    return _redc(spec, _ripple(t, 2), tables)
+    convs = [_conv(x, y, L) for x, y in pairs]
+    if len(convs) == 1:
+        return _redc(spec, _ripple(convs[0], 2), tables)
+    if len(convs) == 2:
+        return _redc(spec, _ripple(convs[0] + convs[1], 2), tables)
+    # 3-4 products: raw pair sums, one ripple round each, sum, one round
+    sums = [convs[i] + convs[i + 1] if i + 1 < len(convs) else convs[i]
+            for i in range(0, len(convs), 2)]
+    t = sum(_ripple(s, 1) for s in sums)
+    return _redc(spec, _ripple(t, 1), tables)
 
 
 def mont_square(spec: FieldSpec, a):
