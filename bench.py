@@ -186,6 +186,8 @@ def bench_spend(repeat: int = 3):
         "vs_baseline": round(PROVER_BASELINE_S / compute, 3),
         "fft_s": round(tm.get("fft (h poly)", 0), 4),
         "msm_s": round(msm, 4),
+        "msm_split": {k.split()[1]: round(v, 4) for k, v in tm.items()
+                      if k.startswith("msm")},
         "synthesis_s": round(tm.get("synthesis", 0), 4),
         "pack_s": round(tm.get("pack/upload", 0), 4),
         "create_proof_total_s": round(tm.get("total", 0), 4),

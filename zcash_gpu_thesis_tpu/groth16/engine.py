@@ -158,8 +158,18 @@ class BlsEngine:
 
     # -- domains ------------------------------------------------------------
 
+    # Domain cache: a _BlsDomain owns the jitted H(x) executable for its
+    # size; re-creating it per create_proof would re-trace the whole
+    # 7-NTT graph every proof (~30 s at 2^17 even with the persistent
+    # XLA cache warm).  One instance per size keeps proofs after the
+    # first at pure device-execution cost.
+    _domain_cache: dict = {}
+
     def domain(self, n: int) -> _BlsDomain:
-        return _BlsDomain(n)
+        hit = BlsEngine._domain_cache.get(n)
+        if hit is None:
+            hit = BlsEngine._domain_cache[n] = _BlsDomain(n)
+        return hit
 
     # -- group algebra (host, python ints) ----------------------------------
 
@@ -320,6 +330,49 @@ class BlsEngine:
             return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)
         return M.msm_host(group, aff, digits, 4, self.msm_chunks,
                           self.msm_k_inner, signed=True)
+
+    def _msm_dev_async(self, group_name, bases, scal_dev):
+        """Dispatch-only MSM: same path as ``_msm_dev`` but the pallas
+        result stays a device projective point; returns a zero-arg
+        resolver producing the python-int affine.  The prover dispatches
+        all five MSMs and resolves after, so the device pipelines the
+        bucket sweeps instead of blocking on one readback per MSM
+        (the reference enqueues its 8 MSM futures before any .wait(),
+        prover.rs:289-353)."""
+        from ..config import g2_msm_impl, mesh_devices, msm_config
+
+        impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
+        mesh_n = mesh_devices()
+        if impl != "pallas" or mesh_n > 1:
+            out = self._msm_dev(group_name, bases, scal_dev)
+            return lambda: out
+
+        from ..config import g2_pad_floor, g2_pallas_params
+        from ..ops import curve as cv
+        from ..ops import msm_pallas as MP
+
+        from_ints = (cv.g1_affine_from_ints if group_name == "g1"
+                     else cv.g2_affine_from_ints)
+        group = cv.G1 if group_name == "g1" else cv.G2
+        floor = g2_pad_floor() if group_name == "g2" else 1
+        aff, n_pad = self._cached_affine(bases, from_ints, floor)
+        assert scal_dev.shape[0] <= n_pad, (scal_dev.shape, n_pad)
+        digits = self._digits_for(scal_dev, n_pad)
+        ck = (16, 8) if group_name == "g1" else g2_pallas_params()
+        sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+        proj = MP.msm_device_proj(group, aff, digits, 4, *ck, slice_n=sl)
+
+        def resolve():
+            return MP._projective_to_ints(
+                group, MP._tree_map_point(proj))[0]
+
+        return resolve
+
+    def msm_g1_async(self, bases, scal_dev):
+        return self._msm_dev_async("g1", bases, scal_dev)
+
+    def msm_g2_async(self, bases, scal_dev):
+        return self._msm_dev_async("g2", bases, scal_dev)
 
     def _msm(self, group_name, bases, scalars):
         import jax.numpy as jnp

@@ -132,15 +132,26 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         t0 = _t("pack/upload", t0)
         h_scal = domain.h_poly_dev(a_m, b_m, c_m)
         t0 = _t("fft (h poly)", t0)
-        h = engine.msm_g1(params.h, h_scal)
+        # Dispatch all 5 MSMs before resolving any (the reference enqueues
+        # its 8 MSM futures before the first .wait(), prover.rs:289-353):
+        # the device pipelines the bucket sweeps and the host pays one
+        # readback latency per point instead of one full round trip per
+        # dispatch+sync pair.
+        p_h = engine.msm_g1_async(params.h, h_scal)
+        p_l = engine.msm_g1_async(params.l, aux_dev)
+        p_a = engine.msm_g1_async(params.a, asg_dev)
+        p_b1 = engine.msm_g1_async(params.b_g1, asg_dev)
+        p_b2 = engine.msm_g2_async(params.b_g2, asg_dev)
+        t0 = _t("msm dispatch", t0)
+        h = p_h()
         t0 = _t("msm h", t0)
-        l = engine.msm_g1(params.l, aux_dev)
+        l = p_l()
         t0 = _t("msm l", t0)
-        a_all = engine.msm_g1(params.a, asg_dev)
+        a_all = p_a()
         t0 = _t("msm a", t0)
-        b1_all = engine.msm_g1(params.b_g1, asg_dev)
+        b1_all = p_b1()
         t0 = _t("msm b_g1", t0)
-        b2_all = engine.msm_g2(params.b_g2, asg_dev)
+        b2_all = p_b2()
         t0 = _t("msm b_g2", t0)
     else:
         h_coeffs = domain.h_poly(prover.a, prover.b, prover.c)

@@ -455,23 +455,43 @@ def msm_pallas_device(group: Group, points, digits, c: int = 4,
     return combine_windows(group, wsums, c)
 
 
+_combine_windows_jit = None
+
+
+def _get_combine_windows_jit():
+    global _combine_windows_jit
+    if _combine_windows_jit is None:
+        from .msm import combine_windows
+
+        _combine_windows_jit = jax.jit(combine_windows,
+                                       static_argnums=(0, 2))
+    return _combine_windows_jit
+
+
+def msm_device_proj(group: Group, points, digits, c: int = 4,
+                    chunks: int = 32, k_inner: int = 4,
+                    slice_n: int = 1 << 20):
+    """Whole MSM on device, result left as a device projective point —
+    no host readback, so callers can dispatch several MSMs back-to-back
+    and sync once (the prover's 5 MSMs pipeline this way instead of
+    serializing on one tunnel round trip each)."""
+    n = digits.shape[0]
+    if n <= slice_n:
+        return msm_pallas_device(group, points, digits, c, chunks,
+                                 k_inner, slice_n)
+    wsums = window_sums_pallas_sliced(group, points, digits, c,
+                                      chunks, k_inner, slice_n)
+    return _get_combine_windows_jit()(group, wsums, c)
+
+
 def msm_host_pallas_fused(group: Group, points, digits, c: int = 4,
                           chunks: int = 32, k_inner: int = 4,
                           slice_n: int = 1 << 20):
     """msm_host_pallas with the device-side combine: returns python-int
     affine (None for identity).  Large n still sweeps slices (the slice
     partials stay projective on device; only the final combine runs)."""
-    n = digits.shape[0]
-    if n <= slice_n:
-        proj = msm_pallas_device(group, points, digits, c, chunks,
-                                 k_inner, slice_n)
-    else:
-        wsums = window_sums_pallas_sliced(group, points, digits, c,
-                                          chunks, k_inner, slice_n)
-        from .msm import combine_windows
-
-        proj = jax.jit(combine_windows, static_argnums=(0, 2))(
-            group, wsums, c)
+    proj = msm_device_proj(group, points, digits, c, chunks, k_inner,
+                           slice_n)
     pt = _projective_to_ints(group, _tree_map_point(proj))
     return pt[0]
 

@@ -2,19 +2,25 @@
 
 The reference's perf methodology (SURVEY.md §5): wall-clock spans per
 kernel and vendor-profiler utilization analysis (VALUBusy/MemUnitBusy,
-tex/Figures/profiler.py).  Here: each hot kernel is timed on the current
-backend and compared against an analytic op-count model and the
-hardware's peak int32/VPU throughput — the TPU analogue of the thesis's
-occupancy tables.
+tex/Figures/profiler.py; size sweeps in multiexp.rs:2825 and
+tex/Figures/finalresults.py).  Here: each hot kernel is timed at a sweep
+of production sizes, the fixed dispatch+sync floor (a null kernel at the
+same shape) is measured and subtracted, and the dispatch-free rate is
+compared against an analytic op-count model and the hardware's peak
+int32/VPU throughput — the TPU analogue of the thesis's occupancy
+tables.  A compute-only row (a Pallas kernel iterating mont_mul 2048x
+in VMEM, amortizing all dispatch) anchors the true field-multiply rate.
 
 Run `python -m zcash_gpu_thesis_tpu.utils.profiler` to print the table
-(and write PERF.md with --write).
+(and write PERF.md with --write; --full adds the 2^20 MSM / 2^23 NTT
+rows, several minutes of TPU time).
 
-Op-count models (per element):
-  * Fq mont_mul: 1 variable conv (L^2 MAC = 2 ops each) + 2 const convs
-    (offloaded to MXU when enabled) + ripples.
-  * G1 add_mixed: 11 Fq muls + ~20 adds.
+Op-count models (int32-op tallies per element):
+  * Fq mont_mul: variable conv (L^2 MAC = 2 ops each + L^2 pad-adds) +
+    2 const convs (on the MXU when enabled: excluded) + ripple/carry.
+  * G1 mixed add: 11 Fq muls + ~14 adds/normalizes.
   * Fr NTT butterfly: 1 Fr mul + add + sub per pair per stage.
+  * MSM bucket pass: n * W mixed adds (W = 65 signed 4-bit windows).
 """
 
 from __future__ import annotations
@@ -54,72 +60,181 @@ PEAKS = {
 }
 
 
-def kernel_suite(n: int = 8192):
-    """Return [(name, fn, args, model_int32_ops)] for the hot kernels."""
+def _rand_elems(spec, count, seed=11):
+    import random
+
     import jax.numpy as jnp
-    import jax
 
-    from ..constants import R
     from ..ops import field as F
-    from ..ops import msm as M
-    from ..ops.curve import G1
-    from ..ops.ntt import Domain
 
-    rng = np.random.default_rng(7)
+    r = random.Random(seed)
+    return jnp.asarray(F.batch_to_limbs(
+        spec, [r.randrange(spec.modulus) for _ in range(count)]))
 
-    def rand_elems(spec, count):
-        import random
 
-        r = random.Random(11)
-        return jnp.asarray(
-            F.batch_to_limbs(spec, [r.randrange(spec.modulus) for _ in range(count)])
-        )
+def _null_floor(n_rows: int, lanes: int) -> float:
+    """Dispatch + sync floor: a jitted elementwise op on the same-shape
+    array, timed exactly like the kernels."""
+    import jax
+    import jax.numpy as jnp
 
-    out = []
+    x = jnp.zeros((n_rows, lanes), jnp.int32)
+    f = jax.jit(lambda v: v + 1)
+    return time_fn(f, x)
 
-    # Fq Montgomery multiply
-    a = rand_elems(F.FQ, n)
-    b = rand_elems(F.FQ, n)
-    L = F.FQ.n_limbs
-    mul_ops = n * (2 * L * L + (0 if F._redc_mxu() else 4 * L * L) + 30 * 2 * L)
-    mul = jax.jit(lambda a, b: F.mont_mul(F.FQ, a, b))
-    out.append((f"fq_mont_mul[{n}]", mul, (a, b), mul_ops))
 
-    # G1 mixed addition (batched)
-    from ..oracle import curve as O
+def field_rows(sizes):
+    """(label, time, floor, model_ops) rows for mont_mul + mixed add."""
+    import functools
     import random as _r
 
-    rr = _r.Random(3)
-    base = O.random_g1_points(rr, 4)
-    pts = [base[i % 4] for i in range(n)]
+    import jax
+
+    from ..oracle import curve as O
     from ..ops import curve as cv
+    from ..ops import field as F
+    from ..ops.curve import G1
 
-    aff = cv.g1_affine_from_ints(pts)
-    proj = G1.from_affine(aff)
-    add_ops = n * 14 * (2 * L * L + (0 if F._redc_mxu() else 4 * L * L))
-    addm = jax.jit(G1.add_mixed)
-    out.append((f"g1_add_mixed[{n}]", addm, (proj, aff), add_ops))
+    L = F.FQ.n_limbs
+    rows = []
+    for n in sizes:
+        a = _rand_elems(F.FQ, min(n, 1 << 14))
+        import jax.numpy as jnp
 
-    # Fr NTT
-    d = Domain(n)
-    coeffs = rand_elems(F.FR, n)
+        reps = max(1, n // a.shape[0])
+        a = jnp.tile(a, (reps, 1))[:n]
+        b = jnp.roll(a, 1, axis=0)
+        mul = jax.jit(lambda x, y: F.mont_mul(F.FQ, x, y))
+        ops = n * (3 * L * L + 60 * L)
+        t = time_fn(mul, a, b)
+        floor = _null_floor(n, L)
+        rows.append((f"fq_mont_mul[2^{n.bit_length()-1}]", t, floor, ops))
+
+        rr = _r.Random(3)
+        base = O.random_g1_points(rr, 4)
+        pts = [base[i % 4] for i in range(min(n, 4096))]
+        aff_small = cv.g1_affine_from_ints(pts)
+        aff = jax.tree.map(
+            lambda l: jnp.tile(l, (max(1, n // l.shape[0]),)
+                               + (1,) * (l.ndim - 1))[:n], aff_small)
+        proj = G1.from_affine(aff)
+        addm = jax.jit(G1.add_mixed)
+        add_ops = n * (11 * (3 * L * L) + 14 * 8 * L)
+        t = time_fn(addm, proj, aff)
+        rows.append((f"g1_add_mixed[2^{n.bit_length()-1}]", t, floor,
+                     add_ops))
+    return rows
+
+
+def compute_only_row(iters: int = 2048, lanes: int = 8192):
+    """Dispatch-amortized mont_mul rate: one Pallas kernel chaining
+    `iters` multiplies over a [L, lanes] VMEM block (scripts/fbench.py's
+    probe, inlined)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops import field_t as FT
+    from ..ops.field import FQ
+
+    L = FQ.n_limbs
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 4096, size=(L, lanes)).astype(np.int32))
+    b = jnp.asarray(rng.integers(0, 4096, size=(L, lanes)).astype(np.int32))
+    w_np, w_p = FT.redc_tables(FQ)
+
+    def kern(a_ref, b_ref, wnp_ref, wp_ref, o_ref):
+        tables = (wnp_ref[...], wp_ref[...])
+
+        def step(i, x):
+            return FT.mont_mul(FQ, x, b_ref[...], tables)
+
+        o_ref[...] = jax.lax.fori_loop(0, iters, step, a_ref[...])
+
+    fn = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((L, lanes), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    jfn = jax.jit(lambda x, y: fn(x, y, jnp.asarray(w_np),
+                                  jnp.asarray(w_p)))
+    t = time_fn(jfn, a, b)
+    ops = iters * lanes * (3 * L * L + 60 * L)
+    return (f"fq_mont_mul_compute[{iters}x{lanes}]", t, 0.0, ops)
+
+
+def ntt_rows(logs):
+    import jax
+
+    from ..ops import field as F
+    from ..ops.ntt import Domain
+
     Lr = F.FR.n_limbs
-    log_n = n.bit_length() - 1
-    ntt_ops = (n // 2) * log_n * (2 * Lr * Lr + 60 * Lr)
-    fft = jax.jit(d.fft)
-    out.append((f"fr_ntt[{n}]", fft, (coeffs,), ntt_ops))
+    rows = []
+    for log_n in logs:
+        n = 1 << log_n
+        d = Domain(n)
+        small = _rand_elems(F.FR, min(n, 1 << 14))
+        import jax.numpy as jnp
 
-    # MSM window accumulation
-    scalars = [rr.randrange(R) for _ in range(n)]
-    digits = jnp.asarray(M.digits_from_ints(scalars, 4))
-    msm_ops = n * 64 * 14 * 2 * L * L
-    ws = lambda aff, digits: M.window_sums_affine(G1, aff, digits, 4, 16, 8)
-    out.append((f"g1_msm_window_sums[{n}]", ws, (aff, digits), msm_ops))
+        coeffs = jnp.tile(small, (max(1, n // small.shape[0]), 1))[:n]
+        fft = jax.jit(d.fft)
+        ops = (n // 2) * log_n * (3 * Lr * Lr + 60 * Lr)
+        t = time_fn(fft, coeffs)
+        floor = _null_floor(min(n, 1 << 17), Lr)
+        rows.append((f"fr_ntt[2^{log_n}]", t, floor, ops))
+    return rows
 
-    return out
+
+def msm_rows(logs, g2_log=None):
+    """Production Pallas bucket path (window sums, the device-side hot
+    loop) at each size; model = n * W mixed adds."""
+    import random as _r
+
+    import jax.numpy as jnp
+
+    from ..constants import R
+    from ..oracle import curve as O
+    from ..ops import curve as cv
+    from ..ops import field as F
+    from ..ops import msm as M
+    from ..ops import msm_pallas as MP
+
+    L = F.FQ.n_limbs
+    rr = _r.Random(5)
+    rows = []
+
+    def one(group, log_n, nbase, from_ints, rand_pts, tag, nc):
+        n = 1 << log_n
+        base = rand_pts(rr, nbase)
+        aff = from_ints([base[i % nbase] for i in range(min(n, 1 << 17))])
+        import jax
+
+        aff = jax.tree.map(
+            lambda l: jnp.tile(l, (max(1, n // l.shape[0]),)
+                               + (1,) * (l.ndim - 1))[:n], aff)
+        scal = [rr.randrange(R) for _ in range(min(n, 1 << 14))]
+        digits = M.recode_signed(M.digits_from_ints(scal, 4), 4)
+        digits = jnp.asarray(np.tile(digits, (max(1, n // len(scal)), 1))[:n])
+        w = digits.shape[1]
+        fn = lambda a, d: MP.window_sums_pallas_sliced(
+            group, a, d, 4, 16, 8)
+        ops = n * w * nc * nc * (11 * 3 * L * L + 14 * 8 * L)
+        t = time_fn(fn, aff, digits, iters=2)
+        rows.append((f"{tag}_msm_buckets[2^{log_n}]", t, 0.0, ops))
+
+    for log_n in logs:
+        one(cv.G1, log_n, 64, cv.g1_affine_from_ints, O.random_g1_points,
+            "g1", 1)
+    if g2_log:
+        one(cv.G2, g2_log, 8, cv.g2_affine_from_ints, O.random_g2_points,
+            "g2", 2)
+    return rows
 
 
-def report(n: int = 8192) -> str:
+def report(full: bool = False) -> str:
     import jax
 
     backend = jax.default_backend()
@@ -127,31 +242,50 @@ def report(n: int = 8192) -> str:
     lines = [
         "# Per-kernel speed-of-light report",
         "",
-        f"backend: `{backend}`  |  assumed int32 peak: {peak:.1e} ops/s",
+        f"backend: `{backend}`  |  assumed int32 vector peak: "
+        f"{peak:.1e} ops/s",
         "",
-        "| kernel | time | model int32 ops | achieved ops/s | % of peak |",
-        "|---|---|---|---|---|",
+        "All rows are device-warm minima of 2-3 runs.  `t - floor`"
+        " subtracts a same-shape null-kernel dispatch+sync round trip"
+        " (the tunnel latency the thesis's figures excluded by looping"
+        " on device); `% peak` uses the dispatch-free time.",
+        "",
+        "| kernel | t | floor | t - floor | model ops | ops/s | % peak |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, fn, args, ops in kernel_suite(n):
-        t = time_fn(fn, *args)
-        rate = ops / t
+    msm_logs = [14, 17] + ([20] if full else [])
+    ntt_logs = [14, 17] + ([20, 23] if full else [20])
+    rows = (field_rows([1 << 13, 1 << 17] + ([1 << 20] if full else []))
+            + [compute_only_row()]
+            + ntt_rows(ntt_logs)
+            + msm_rows(msm_logs, g2_log=17 if full else None))
+    for name, t, floor, ops in rows:
+        tc = max(t - floor, 1e-9)
+        rate = ops / tc
         lines.append(
-            f"| {name} | {t*1e3:.2f} ms | {ops:.2e} | {rate:.2e} |"
+            f"| {name} | {t*1e3:.1f} ms | {floor*1e3:.1f} ms |"
+            f" {tc*1e3:.1f} ms | {ops:.2e} | {rate:.2e} |"
             f" {100*rate/peak:.1f}% |"
         )
-    lines.append("")
-    lines.append(
-        "Model counts are analytic MAC/add tallies per element (see module "
+    lines += [
+        "",
+        "Model counts are analytic int32-op tallies per element (module "
         "docstring); the % column is the TPU analogue of the thesis's "
-        "VALUBusy profiler figures (tex/Figures/profiler.py)."
-    )
+        "VALUBusy profiler figures (tex/Figures/profiler.py).  The "
+        "`fq_mont_mul_compute` row is the dispatch-amortized in-VMEM "
+        "rate — the ceiling the bucket kernel's 11-mul mixed adds run "
+        "against.  Whole-proof phase splits (FFT vs MSM vs blinding) are "
+        "measured by `bench.py --mode spend` and recorded in "
+        "PROGRESS.md/BENCH artifacts.",
+    ]
     return "\n".join(lines)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--write", action="store_true", help="write PERF.md")
+    ap.add_argument("--full", action="store_true",
+                    help="add 2^20 MSM / 2^23 NTT / G2 rows")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     import jax
@@ -159,7 +293,8 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
-    text = report(args.n)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    text = report(full=args.full)
     print(text)
     if args.write:
         with open("PERF.md", "w") as f:
