@@ -41,7 +41,7 @@ def msm_config() -> MsmConfig:
     impl = os.environ.get("ZKTPU_MSM_IMPL", "pallas" if on_tpu else "xla")
     return MsmConfig(
         impl=impl,
-        c=int(os.environ.get("ZKTPU_MSM_C", "4")),
+        c=int(os.environ.get("ZKTPU_MSM_C", "5")),
         chunks=int(os.environ.get("ZKTPU_MSM_CHUNKS",
                                   "32" if on_tpu else "8")),
         k_inner=int(os.environ.get("ZKTPU_MSM_K", "4")),
@@ -106,10 +106,11 @@ def mesh_devices() -> int:
 def g2_pad_floor() -> int:
     """Minimum padded size for large G2 MSMs on the pallas path.
 
-    The Fq2 kernel's Mosaic compile is ~1h per distinct grid size, so all
-    production G2 MSMs pad up to one canonical size (2^17 covers every
-    Sapling/Sprout CRS vector) and share a single compiled executable;
-    the extra lanes are zero-digit columns the bucket path skips.
+    The Fq2 kernel's Mosaic compile is the expensive one, so all
+    production G2 MSMs pad up to one canonical slice size and larger n
+    sweeps that single compiled executable (msm_pallas slicing).  2^16
+    matches the density-compacted Sapling b_g2 vector (61,301 live bases)
+    in one slice; Sprout's ~2M-base vector runs as 32 slices.
     ZKTPU_G2_PAD_FLOOR overrides (set 1 to disable).
     """
-    return int(os.environ.get("ZKTPU_G2_PAD_FLOOR", str(1 << 17)))
+    return int(os.environ.get("ZKTPU_G2_PAD_FLOOR", str(1 << 16)))

@@ -38,18 +38,33 @@ def _make_digits_impl(scal, n_pad: int, c: int):
     return M.recode_signed_dev(M.digits_from_canonical(scal, c), c)
 
 
+def _make_digits_idx_impl(scal, idx, n_pad: int, c: int):
+    import jax.numpy as jnp2
+
+    return _make_digits_impl(jnp2.take(scal, idx, axis=0), n_pad, c)
+
+
 _make_digits = None  # lazily jitted below to keep import light
+_make_digits_idx = None
 
 
 def _get_make_digits():
     global _make_digits
     if _make_digits is None:
-        import functools
-
         import jax
 
         _make_digits = jax.jit(_make_digits_impl, static_argnums=(1, 2))
     return _make_digits
+
+
+def _get_make_digits_idx():
+    global _make_digits_idx
+    if _make_digits_idx is None:
+        import jax
+
+        _make_digits_idx = jax.jit(_make_digits_idx_impl,
+                                   static_argnums=(2, 3))
+    return _make_digits_idx
 
 
 class _BlsDomain:
@@ -204,6 +219,18 @@ class BlsEngine:
     msm_k_inner = 4
     _cache_threshold = 4096  # below this, convert per call (tests, toys)
 
+    @staticmethod
+    def _c_for(group_name: str) -> int:
+        """Window width: G1 follows ZKTPU_MSM_C (c=5 is the measured
+        optimum of madd work ~w_count vs one-hot scatter ~2^(c-1)*w_count
+        on v5e); G2 stays at 4 to keep the Fq2 kernel's VMEM bucket state
+        and Mosaic compile small."""
+        if group_name != "g1":
+            return 4
+        from ..config import msm_config
+
+        return msm_config().c
+
     # Device-form CRS base cache: id(bases list) -> (bases, affine pytree,
     # n_pad).  The proving parameters are long-lived (installed once via
     # librustzcash_init_zksnark_params), while msm_g1/msm_g2 are called
@@ -212,16 +239,47 @@ class BlsEngine:
     # the first.  Strong refs to the lists guard against id() reuse.
     _base_cache: dict = {}
 
-    def _cached_affine(self, bases, from_ints, floor: int = 1):
-        key = (id(bases), from_ints.__name__)
+    def _cached_affine(self, bases, from_ints, floor: int = 1,
+                       compact: bool = False, quantum: int = 0):
+        """Device-form (affine pytree, n_pad, nz_idx) for a CRS base list.
+
+        With ``compact=True``, identity bases are dropped when that lands
+        the padded size on a smaller power of two — the static analog of
+        the reference's ``DensityTracker`` (multiexp.rs:99-138): bellman's
+        b_g1/b_g2 vectors are ~38% dense for Sapling Spend, and identity
+        bases contribute nothing for any scalar, so the kernel lane count
+        halves.  ``nz_idx`` (device int32 [n_nz] or None) tells the caller
+        which scalar rows to gather; it is None when no compaction
+        happened (scalars align 1:1 with the padded bases)."""
+        key = (id(bases), from_ints.__name__, compact, quantum)
         hit = BlsEngine._base_cache.get(key)
         if hit is not None and hit[0] is bases:
-            return hit[1], hit[2]
-        n = max(len(bases), 1)
-        n_pad = max(1 << (n - 1).bit_length(), floor)
-        aff = from_ints(list(bases) + [None] * (n_pad - len(bases)))
-        BlsEngine._base_cache[key] = (bases, aff, n_pad)
-        return aff, n_pad
+            return hit[1], hit[2], hit[3]
+
+        def pad_to(n):
+            n = max(n, 1)
+            if quantum:
+                # exact-size mode: the bucket kernel internally pads the
+                # stream to a multiple of chunks*k_inner points, so MSMs
+                # run at their true size (the 2^17 Spend h vs the 85k `a`
+                # vector differ 1.5x in kernel time); one compile per
+                # distinct quantized size per circuit, cached persistently
+                return max(-(-n // quantum) * quantum, floor)
+            return max(1 << (n - 1).bit_length(), floor)
+
+        n_pad = pad_to(len(bases))
+        nz_idx = None
+        use = list(bases)
+        if compact:
+            nz = [i for i, b in enumerate(bases) if b is not None]
+            n_pad_c = pad_to(len(nz))
+            if n_pad_c < n_pad:
+                use = [bases[i] for i in nz]
+                n_pad = n_pad_c
+                nz_idx = jnp.asarray(nz, dtype=jnp.int32)
+        aff = from_ints(use + [None] * (n_pad - len(use)))
+        BlsEngine._base_cache[key] = (bases, aff, n_pad, nz_idx)
+        return aff, n_pad, nz_idx
 
     @classmethod
     def clear_base_cache(cls):
@@ -271,12 +329,16 @@ class BlsEngine:
     _digits_cache: dict = {}
 
     @staticmethod
-    def _digits_for(scal_dev, n_pad: int, c: int = 4):
-        key = (id(scal_dev), n_pad, c)
+    def _digits_for(scal_dev, n_pad: int, c: int = 4, nz_idx=None):
+        key = (id(scal_dev), n_pad, c,
+               None if nz_idx is None else id(nz_idx))
         hit = BlsEngine._digits_cache.get(key)
         if hit is not None and hit[0] is scal_dev:
             return hit[1]
-        digits = _get_make_digits()(scal_dev, n_pad, c)
+        if nz_idx is None:
+            digits = _get_make_digits()(scal_dev, n_pad, c)
+        else:
+            digits = _get_make_digits_idx()(scal_dev, nz_idx, n_pad, c)
         if len(BlsEngine._digits_cache) > 8:
             BlsEngine._digits_cache.pop(next(iter(BlsEngine._digits_cache)))
         BlsEngine._digits_cache[key] = (scal_dev, digits)
@@ -300,9 +362,14 @@ class BlsEngine:
         impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
         floor = (g2_pad_floor()
                  if group_name == "g2" and impl == "pallas" else 1)
-        aff, n_pad = self._cached_affine(bases, from_ints, floor)
-        assert scal_dev.shape[0] <= n_pad, (scal_dev.shape, n_pad)
-        digits = self._digits_for(scal_dev, n_pad)
+        quantum = 128 if impl == "pallas" and group_name == "g1" else 0
+        c = self._c_for(group_name)
+        aff, n_pad, nz_idx = self._cached_affine(
+            bases, from_ints, floor,
+            compact=scal_dev.shape[0] >= len(bases), quantum=quantum)
+        assert nz_idx is not None or scal_dev.shape[0] <= n_pad, (
+            scal_dev.shape, n_pad)
+        digits = self._digits_for(scal_dev, n_pad, c, nz_idx=nz_idx)
         mesh_n = mesh_devices()
         if mesh_n > 1 and n_pad % mesh_n == 0:
             from ..parallel import mesh as pm
@@ -310,7 +377,7 @@ class BlsEngine:
             mesh = self._mesh(mesh_n)
             cfg = msm_config()
             return pm.sharded_msm_host(
-                group, aff, digits, mesh, 4,
+                group, aff, digits, mesh, c,
                 max(cfg.chunks // mesh_n, 1), cfg.k_inner,
                 signed=True, impl=impl,
             )
@@ -324,11 +391,11 @@ class BlsEngine:
             sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
             # device-side window combine: readback is ONE projective point
             # instead of [W] sums + a python-int ladder (~0.24 s/MSM saved)
-            return MP.msm_host_pallas_fused(group, aff, digits, 4, *ck,
+            return MP.msm_host_pallas_fused(group, aff, digits, c, *ck,
                                             slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
-            return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)
-        return M.msm_host(group, aff, digits, 4, self.msm_chunks,
+            return M.msm_host(group, aff, digits, c, 128, 8, signed=True)
+        return M.msm_host(group, aff, digits, c, self.msm_chunks,
                           self.msm_k_inner, signed=True)
 
     def _msm_dev_async(self, group_name, bases, scal_dev):
@@ -355,16 +422,20 @@ class BlsEngine:
                      else cv.g2_affine_from_ints)
         group = cv.G1 if group_name == "g1" else cv.G2
         floor = g2_pad_floor() if group_name == "g2" else 1
-        aff, n_pad = self._cached_affine(bases, from_ints, floor)
-        assert scal_dev.shape[0] <= n_pad, (scal_dev.shape, n_pad)
-        digits = self._digits_for(scal_dev, n_pad)
+        quantum = 128 if group_name == "g1" else 0
+        c = self._c_for(group_name)
+        aff, n_pad, nz_idx = self._cached_affine(
+            bases, from_ints, floor,
+            compact=scal_dev.shape[0] >= len(bases), quantum=quantum)
+        assert nz_idx is not None or scal_dev.shape[0] <= n_pad, (
+            scal_dev.shape, n_pad)
+        digits = self._digits_for(scal_dev, n_pad, c, nz_idx=nz_idx)
         ck = (16, 8) if group_name == "g1" else g2_pallas_params()
         sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
-        proj = MP.msm_device_proj(group, aff, digits, 4, *ck, slice_n=sl)
+        packed = MP.msm_device_proj(group, aff, digits, c, *ck, slice_n=sl)
 
         def resolve():
-            return MP._projective_to_ints(
-                group, MP._tree_map_point(proj))[0]
+            return MP.packed_to_int_point(group, packed)
 
         return resolve
 
@@ -397,12 +468,21 @@ class BlsEngine:
             floor = (g2_pad_floor()
                      if group_name == "g2" and g2_msm_impl() == "pallas"
                      else 1)
-            aff, n_pad = self._cached_affine(bases, from_ints, floor)
+            quantum = (128 if group_name == "g1"
+                       and msm_config().impl == "pallas" else 0)
+            aff, n_pad, nz_idx = self._cached_affine(
+                bases, from_ints, floor,
+                compact=len(scalars) >= len(bases), quantum=quantum)
+            if nz_idx is not None:
+                import numpy as np
+
+                scalars = [scalars[i] for i in np.asarray(nz_idx)]
             scalars = list(scalars) + [0] * (n_pad - len(scalars))
         else:
             bases, scalars = self._compact_pad(bases, scalars)
             aff = from_ints(bases)
-        digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+        c = self._c_for(group_name)
+        digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, c), c))
         from ..config import g2_msm_impl, g2_pallas_params
 
         impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())

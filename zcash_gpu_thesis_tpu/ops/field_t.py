@@ -90,12 +90,30 @@ def mul_small(spec: FieldSpec, a, k: int):
 
 
 def _conv(a, b, n):
-    """[n, P] x [n, P] -> raw [2n, P].  Pad-and-add (no scatter)."""
-    acc = jnp.zeros((2 * n,) + a.shape[1:], dtype=jnp.int32)
+    """[n, P] x [n, P] -> raw [2n, P].  Shift-aware balanced tree of the
+    n shifted partial products (no scatter): merging offset-adjacent
+    partials keeps intermediate heights near n instead of 2n, so the add
+    rows drop ~45% vs accumulating every tap into a full-height [2n, P]
+    pad-and-add (the round-1 form).  Same sums, same order of magnitude
+    bounds: every output limb is the sum of <= n raw products < 2^30."""
     tail_pad = ((0, 0),) * (a.ndim - 1)
-    for i in range(n):
-        acc = acc + jnp.pad(a[i : i + 1] * b, ((i, n - i),) + tail_pad)
-    return acc
+    # (array, offset) partial products, sorted by offset
+    parts = [(a[i : i + 1] * b, i) for i in range(n)]
+    while len(parts) > 1:
+        nxt = []
+        for j in range(0, len(parts) - 1, 2):
+            x, ox = parts[j]
+            y, oy = parts[j + 1]
+            shift = oy - ox
+            h = max(x.shape[0], shift + y.shape[0])
+            xp = jnp.pad(x, ((0, h - x.shape[0]),) + tail_pad)
+            yp = jnp.pad(y, ((shift, h - shift - y.shape[0]),) + tail_pad)
+            nxt.append((xp + yp, ox))
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    x, ox = parts[0]
+    return jnp.pad(x, ((ox, 2 * n - ox - x.shape[0]),) + tail_pad)
 
 
 def _conv_const_vpu(a, digits, out_len: int):

@@ -439,20 +439,47 @@ _window_sums_pallas_jit = jax.jit(
 )
 
 
+def _pack_point(proj):
+    """Projective pytree (G1 leaves [L] / G2 component tuples) -> ONE flat
+    int32 array.  A packed result costs a single host<->device transfer —
+    per-leaf readback was 3 (G1) / 6 (G2) serial tunnel round trips, which
+    dominated the post-kernel tail at ~35 ms each."""
+    return jnp.concatenate(
+        [l.reshape(-1) for l in jax.tree.leaves(proj)], axis=0
+    )
+
+
+def _unpack_point(group: Group, flat):
+    """Inverse of _pack_point on a host numpy array -> projective pytree
+    structure with [L] numpy leaves."""
+    L = FQ.n_limbs
+    nc = 2 if group.f.name == "g2" else 1
+    leaves = [flat[i * L : (i + 1) * L] for i in range(3 * nc)]
+    if nc == 1:
+        x, y, z = leaves
+        return (x, y, z)
+    return (
+        (leaves[0], leaves[1]),
+        (leaves[2], leaves[3]),
+        (leaves[4], leaves[5]),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def msm_pallas_device(group: Group, points, digits, c: int = 4,
                       chunks: int = 32, k_inner: int = 4,
                       slice_n: int = 1 << 20):
     """Whole MSM fused on device: bucket kernel + suffix sums + the
     W-window doubling-ladder combine (ops.msm.combine_windows) in one
-    executable — the readback is a single projective point instead of
-    [W] window sums, so the tunnel round trip and the host ladder drop
-    out of the latency path.  The ladder is ~255 sequential batch-1 adds,
-    negligible *inside* a jit (it only hurt as eager per-op dispatch)."""
+    executable — the readback is a single PACKED projective point instead
+    of [W] window sums, so one tunnel round trip replaces both the host
+    ladder and the per-coordinate transfers.  The ladder is ~255
+    sequential batch-1 adds, negligible *inside* a jit (it only hurt as
+    eager per-op dispatch)."""
     from .msm import combine_windows
 
     wsums = window_sums_pallas(group, points, digits, c, chunks, k_inner)
-    return combine_windows(group, wsums, c)
+    return _pack_point(combine_windows(group, wsums, c))
 
 
 _combine_windows_jit = None
@@ -463,18 +490,23 @@ def _get_combine_windows_jit():
     if _combine_windows_jit is None:
         from .msm import combine_windows
 
-        _combine_windows_jit = jax.jit(combine_windows,
-                                       static_argnums=(0, 2))
+        _combine_windows_jit = jax.jit(
+            lambda group, wsums, c: _pack_point(
+                combine_windows(group, wsums, c)
+            ),
+            static_argnums=(0, 2),
+        )
     return _combine_windows_jit
 
 
 def msm_device_proj(group: Group, points, digits, c: int = 4,
                     chunks: int = 32, k_inner: int = 4,
                     slice_n: int = 1 << 20):
-    """Whole MSM on device, result left as a device projective point —
-    no host readback, so callers can dispatch several MSMs back-to-back
-    and sync once (the prover's 5 MSMs pipeline this way instead of
-    serializing on one tunnel round trip each)."""
+    """Whole MSM on device, result left as a PACKED device point
+    (_pack_point) — no host readback, so callers can dispatch several
+    MSMs back-to-back and sync once with one transfer each (the prover's
+    5 MSMs pipeline this way instead of serializing on one tunnel round
+    trip per coordinate)."""
     n = digits.shape[0]
     if n <= slice_n:
         return msm_pallas_device(group, points, digits, c, chunks,
@@ -484,22 +516,24 @@ def msm_device_proj(group: Group, points, digits, c: int = 4,
     return _get_combine_windows_jit()(group, wsums, c)
 
 
+def packed_to_int_point(group: Group, packed):
+    """Packed device point -> host affine ints (one device sync)."""
+    flat = np.asarray(packed)
+    pt = _projective_to_ints(
+        group, jax.tree.map(lambda l: l[None], _unpack_point(group, flat))
+    )
+    return pt[0]
+
+
 def msm_host_pallas_fused(group: Group, points, digits, c: int = 4,
                           chunks: int = 32, k_inner: int = 4,
                           slice_n: int = 1 << 20):
     """msm_host_pallas with the device-side combine: returns python-int
     affine (None for identity).  Large n still sweeps slices (the slice
     partials stay projective on device; only the final combine runs)."""
-    proj = msm_device_proj(group, points, digits, c, chunks, k_inner,
-                           slice_n)
-    pt = _projective_to_ints(group, _tree_map_point(proj))
-    return pt[0]
-
-
-def _tree_map_point(proj):
-    """Batch a single projective point to shape [1] for the shared
-    int-conversion helper."""
-    return jax.tree.map(lambda l: l[None], proj)
+    packed = msm_device_proj(group, points, digits, c, chunks, k_inner,
+                             slice_n)
+    return packed_to_int_point(group, packed)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
