@@ -78,6 +78,7 @@ class _BlsDomain:
         self.d = Domain(n)
         self.n = n
         self._jit_h = jax.jit(self._h_impl)
+        self._jit_h_canon = None
         self._jit_h_sharded = None
 
     def _h_impl(self, a_mont, b_mont, c_mont):
@@ -149,6 +150,32 @@ class _BlsDomain:
                 )
             return self._jit_h_sharded(a_mont, b_mont, c_mont)
         return self._jit_h(a_mont, b_mont, c_mont)
+
+    def h_poly_dev_canon(self, a, b, c):
+        """``h_poly_dev`` taking CANONICAL standard-form limb arrays.
+
+        The prover packs its a/b/c evaluation vectors with the vectorized
+        bytes+numpy repack (utils.limbs.ints_to_limbs_fast) — no per-int
+        Montgomery host math, no device round trip for the R-multiply;
+        the to-Montgomery scaling is three extra pointwise mont_muls
+        fused into the H(x) executable."""
+        from ..config import mesh_devices
+
+        from ..ops import field as F
+        from ..ops.ntt import FR
+
+        def conv(x):
+            return F.to_mont(FR, x.astype(jnp.int32))
+
+        if mesh_devices() > 1:
+            return self.h_poly_dev(*(conv(v) for v in (a, b, c)))
+        if self._jit_h_canon is None:
+            import jax
+
+            self._jit_h_canon = jax.jit(
+                lambda a, b, c: self._h_impl(conv(a), conv(b), conv(c))
+            )
+        return self._jit_h_canon(a, b, c)
 
     def from_ints_mont(self, xs):
         """Python-int evaluation vector -> device Montgomery [n, L]."""

@@ -116,21 +116,24 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
 
         from ..ops import field as Ff
 
-        def pack_mont(vals):
-            arr = Ff.batch_to_limbs(Ff.FR, vals)
+        def pack_canon(vals):
+            # canonical limbs via the vectorized bytes+numpy repack; the
+            # Montgomery scaling is fused into the H(x) executable
+            # (h_poly_dev_canon) instead of a host round trip per vector
+            arr = Ff.batch_to_limbs(Ff.FR, vals, mont=False)
             pad = m - arr.shape[0]
             if pad:
                 arr = np.pad(arr, ((0, pad), (0, 0)))
             return jnp.asarray(arr)
 
-        a_m, b_m, c_m = (pack_mont(v) for v in
+        a_m, b_m, c_m = (pack_canon(v) for v in
                          (prover.a, prover.b, prover.c))
         asg_dev = jnp.asarray(
             Ff.batch_to_limbs(Ff.FR, assignment, mont=False)
         )
         aux_dev = asg_dev[n_in:]
         t0 = _t("pack/upload", t0)
-        h_scal = domain.h_poly_dev(a_m, b_m, c_m)
+        h_scal = domain.h_poly_dev_canon(a_m, b_m, c_m)
         t0 = _t("fft (h poly)", t0)
         # Dispatch all 5 MSMs before resolving any (the reference enqueues
         # its 8 MSM futures before the first .wait(), prover.rs:289-353):
