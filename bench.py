@@ -268,17 +268,18 @@ def bench_large_msm(log_n: int, group_name: str = "g1"):
         return __import__("jax").tree.map(lambda l: l[idx], base_np)
 
     def sweep():
-        total = None
+        # chained bucket state across fixed-size kernel passes (one
+        # executable, bounded HBM) + one in-VMEM combine kernel; readback
+        # is a single packed projective point
+        state = None
         for s in range(0, n, slice_n):
             e = min(s + slice_n, n)
-            wsum = MP._window_sums_pallas_jit(
+            state = MP.bucket_state(
                 group, slice_points(s, e), jnp.asarray(digits[s:e]),
-                c, chunks, k_inner)
-            total = (wsum if total is None
-                     else MP._add_wsums(group, total, wsum))
-        # force full sync through the tunnel
-        return __import__("jax").tree.map(
-            lambda l: np.asarray(l), total)
+                c, chunks, k_inner, init=state)
+        packed = MP.combine_state_pallas(group, state, c, chunks,
+                                         digits.shape[1])
+        return np.asarray(packed)  # force full sync through the tunnel
 
     import contextlib
 
@@ -295,16 +296,10 @@ def bench_large_msm(log_n: int, group_name: str = "g1"):
         out = sweep()
         t = time.perf_counter() - t0
 
-    # combine + oracle check (class sums mod r, vectorized per limb col)
-    proj = __import__("jax").tree.map(jnp.asarray, out)
-    wsums = MP._projective_to_ints(group, proj)
+    # oracle check (class sums mod r, vectorized per limb col)
+    acc = MP.packed_to_int_point(group, out)
     add = O.g2_add if g2 else O.g1_add
     mul = O.g2_mul if g2 else O.g1_mul
-    acc = None
-    for wsum in reversed(wsums):
-        for _ in range(c):
-            acc = add(acc, acc)
-        acc = add(acc, wsum)
     want = None
     for j in range(nbase):
         cls = limbs[j::nbase]

@@ -1,93 +1,216 @@
-"""MSM bucket-kernel micro-benchmark: decompose + sweep variants.
+"""Micro-bench probes for the Pallas bucket kernel (real TPU).
 
-Times the Pallas bucket kernel at the headline 131k-point G1 workload
-(Chapter6.tex:86-96) under different (c, chunks, k_inner) configurations,
-separating the bucket-accumulate kernel from the suffix/fold stages and
-the host readback.  Drives the window-width / chunk sweep the reference
-ran for its GPU kernels (multiexp.rs:2825's chunk sweep; Chapter7.tex's
-window analysis).
+Times bucket_accumulate variants at the headline shape (131k G1, c=5,
+chunks=16, k_inner=8) to attribute kernel time between the madd field
+math, the one-hot select, and the lane broadcast.
 
-Usage: python scripts/kbench.py --c 4 --chunks 16 --k 8 [--n 131071]
-       python scripts/kbench.py --stage msm   # full msm_host_pallas
+Usage: python scripts/kbench.py [probe ...]
+Probes: full fused kernel_only madd_add noselect
 """
 
-import argparse
-import json
 import os
-import random
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from zcash_gpu_thesis_tpu.ops import curve as cv  # noqa: E402
+from zcash_gpu_thesis_tpu.ops import field_t as FT  # noqa: E402
+from zcash_gpu_thesis_tpu.ops import msm as M  # noqa: E402
+from zcash_gpu_thesis_tpu.ops import msm_pallas as MP  # noqa: E402
+from zcash_gpu_thesis_tpu.oracle import curve as O  # noqa: E402
+
+import random  # noqa: E402
+
+N = 131072
+C = 5
+CHUNKS = 16
+K_INNER = 8
+
+
+def setup():
+    rng = random.Random(0x5DBE6259)
+    base = O.random_g1_points(rng, 64)
+    pts = [base[i % 64] for i in range(N)]
+    scalars = [rng.randrange(O.R) for _ in range(N)]
+    aff = cv.g1_affine_from_ints(pts)
+    digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, C), C))
+    return aff, digits
+
+
+def timeit(fn, reps=3):
+    out = fn()
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--c", type=int, default=4)
-    ap.add_argument("--chunks", type=int, default=16)
-    ap.add_argument("--k", type=int, default=8)
-    ap.add_argument("--n", type=int, default=131071)
-    ap.add_argument("--stage", default="all",
-                    choices=["all", "bucket", "wsums", "msm"])
-    ap.add_argument("--repeat", type=int, default=3)
-    ns = ap.parse_args()
+    probes = sys.argv[1:] or ["full", "kernel_only", "madd_add", "noselect"]
+    aff, digits = setup()
 
-    import jax
+    def patched_kernel_time(patch):
+        """Time bucket_state with FT.mont_mul/mont_mul_acc monkeypatched
+        (wrong math, representative cost)."""
+        orig_mul, orig_acc = FT.mont_mul, FT.mont_mul_acc
+        patch()
+        MP.bucket_state.clear_cache()
+        try:
+            return timeit(lambda: MP.bucket_state(
+                cv.G1, aff, digits, C, CHUNKS, K_INNER))
+        finally:
+            FT.mont_mul, FT.mont_mul_acc = orig_mul, orig_acc
+            MP.bucket_state.clear_cache()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
+    if "conv_only" in probes:
+        # mul = variable conv + ripple, REDC dropped
+        def patch():
+            def mul(spec, a, b, tables=None):
+                return FT._ripple(FT._conv(a, b, spec.n_limbs), 2)[
+                    : spec.n_limbs]
 
-    from zcash_gpu_thesis_tpu.oracle import curve as O
-    from zcash_gpu_thesis_tpu.ops import curve as cv
-    from zcash_gpu_thesis_tpu.ops import msm as M
-    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
-    from zcash_gpu_thesis_tpu.ops.curve import G1
+            def acc(spec, pairs, tables=None):
+                t = sum(FT._conv(x, y, spec.n_limbs) for x, y in pairs)
+                return FT._ripple(t, 2)[: spec.n_limbs]
 
-    rng = random.Random(0x5DBE6259)
-    base = O.random_g1_points(rng, 64)
-    pts = [base[i % 64] for i in range(ns.n)]
-    scalars = [rng.randrange(O.R) for _ in range(ns.n)]
-    aff = cv.g1_affine_from_ints(pts)
-    digits = jnp.asarray(
-        M.recode_signed(M.digits_from_ints(scalars, ns.c), ns.c))
+            FT.mont_mul, FT.mont_mul_acc = mul, acc
 
-    def timed(label, fn, sync):
-        out = fn()
-        sync(out)  # compile + warm
-        times = []
-        for _ in range(ns.repeat):
-            t0 = time.perf_counter()
-            sync(fn())
-            times.append(time.perf_counter() - t0)
-        t = min(times)
-        print(json.dumps({
-            "label": label, "c": ns.c, "chunks": ns.chunks, "k": ns.k,
-            "n": ns.n, "t": round(t, 4),
-            "equiv_131k_vs_baseline": round(0.75 / (t * 131071 / ns.n), 3),
-        }))
-        return t
+        t = patched_kernel_time(patch)
+        print(f"kernel_conv_only_mul: {t*1e3:.1f} ms")
 
-    def sync_tree(out):
-        np.asarray(jax.tree.leaves(out)[0])
+    if "redc_only" in probes:
+        # mul = REDC of a fabricated [2L] product, conv dropped
+        def patch():
+            def mul(spec, a, b, tables=None):
+                t = jnp.concatenate([a, b], axis=0)
+                return FT._redc(spec, t, tables)
 
-    if ns.stage in ("all", "bucket"):
-        timed("bucket_accumulate",
-              lambda: MP.bucket_accumulate(G1, aff, digits, ns.c,
-                                           ns.chunks, ns.k),
-              sync_tree)
-    if ns.stage in ("all", "wsums"):
-        timed("window_sums",
-              lambda: MP._window_sums_pallas_jit(G1, aff, digits, ns.c,
-                                                 ns.chunks, ns.k),
-              sync_tree)
-    if ns.stage in ("all", "msm"):
-        timed("msm_host_pallas",
-              lambda: MP.msm_host_pallas(G1, aff, digits, ns.c,
-                                         ns.chunks, ns.k),
-              lambda out: None)
+            def acc(spec, pairs, tables=None):
+                x, y = pairs[0]
+                t = jnp.concatenate([x, y], axis=0)
+                return FT._redc(spec, t, tables)
+
+            FT.mont_mul, FT.mont_mul_acc = mul, acc
+
+        t = patched_kernel_time(patch)
+        print(f"kernel_redc_only_mul: {t*1e3:.1f} ms")
+
+    if "full" in probes:
+        t = timeit(lambda: MP.msm_device_proj(
+            cv.G1, aff, digits, C, CHUNKS, K_INNER))
+        print(f"full_msm_device: {t*1e3:.1f} ms")
+        # bit-exact check: the point stream tiles 64 bases, so truth is
+        # sum_j (sum of class-j scalars) * P_j — 64 host scalar-mults
+        got = MP.packed_to_int_point(
+            cv.G1, MP.msm_device_proj(cv.G1, aff, digits, C, CHUNKS,
+                                      K_INNER))
+        rng = random.Random(0x5DBE6259)
+        base = O.random_g1_points(rng, 64)
+        pts_s = [rng.randrange(O.R) for _ in range(N)]
+        want = None
+        for j in range(64):
+            tot = sum(pts_s[j::64]) % O.R
+            want = O.g1_add(want, O.g1_mul(base[j], tot))
+        print("full_msm_bit_exact:", got == want)
+
+    if "kernel_only" in probes:
+        t = timeit(lambda: MP.bucket_accumulate(
+            cv.G1, aff, digits, C, CHUNKS, K_INNER))
+        print(f"bucket_kernel_only: {t*1e3:.1f} ms")
+
+    if "madd_add" in probes:
+        # madd replaced with three plain field adds (wrong math, same
+        # data movement): isolates the mul/REDC cost of the madd
+        orig = MP._madd_t
+
+        def fake_madd(f, acc, aff2):
+            x1, y1, z1 = acc
+            x2, y2 = aff2
+            return (f.add(x1, x2), f.add(y1, y2), f.double(z1))
+
+        MP._madd_t = fake_madd
+        MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
+        try:
+            t = timeit(lambda: MP.bucket_accumulate(
+                cv.G1, aff, digits, C, CHUNKS, K_INNER))
+            print(f"kernel_madd_as_adds: {t*1e3:.1f} ms")
+        finally:
+            MP._madd_t = orig
+            MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
+
+    if "noselect" in probes:
+        # madd accumulates into bucket 0 only (no one-hot gather/scatter):
+        # isolates the select cost (compare with kernel_only)
+        orig_kernel = MP._kernel
+
+        def kernel_nosel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref,
+                         wnp_ref, wp_ref, out_ref, bx, by, bz, *, f,
+                         k_inner, chunks, w_count, nb, steps, redc_mxu,
+                         **_kw):
+            import jax as _jax
+            from jax.experimental import pallas as _pl
+
+            g = _pl.program_id(0)
+            rows = f.nc * MP.FQ.n_limbs
+            P = chunks * w_count
+            f.tables = (wnp_ref[...], wp_ref[...]) if redc_mxu else None
+
+            @_pl.when(g == 0)
+            def _init():
+                one = f.one_rows(P)
+                bx[...] = jnp.zeros((nb, rows, P), jnp.int32)
+                by[...] = jnp.broadcast_to(one[None], (nb, rows, P))
+                bz[...] = jnp.zeros((nb, rows, P), jnp.int32)
+
+            expand = expand_ref[...]
+
+            def _body(t, carry):
+                x = xs_ref[0, t]
+                y = ys_ref[0, t]
+                sign = sign_ref[0, t]
+                xb = jnp.dot(x.astype(jnp.float32), expand,
+                             preferred_element_type=jnp.float32,
+                             precision=_jax.lax.Precision.HIGHEST
+                             ).astype(jnp.int32)
+                yb = jnp.dot(y.astype(jnp.float32), expand,
+                             preferred_element_type=jnp.float32,
+                             precision=_jax.lax.Precision.HIGHEST
+                             ).astype(jnp.int32)
+                yb = FT.select(sign != 0, f.neg(yb), yb)
+                nx, ny, nz = MP._madd_t(f, (bx[0], by[0], bz[0]), (xb, yb))
+                bx[0], by[0], bz[0] = nx, ny, nz
+                return carry
+
+            _jax.lax.fori_loop(0, k_inner, _body, 0)
+
+            @_pl.when(g == steps - 1)
+            def _emit():
+                out_ref[0] = bx[...]
+                out_ref[1] = by[...]
+                out_ref[2] = bz[...]
+
+        MP._kernel = kernel_nosel
+        MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
+        try:
+            t = timeit(lambda: MP.bucket_accumulate(
+                cv.G1, aff, digits, C, CHUNKS, K_INNER))
+            print(f"kernel_no_select: {t*1e3:.1f} ms")
+        finally:
+            MP._kernel = orig_kernel
+            MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
 
 
 if __name__ == "__main__":

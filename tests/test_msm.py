@@ -227,3 +227,23 @@ def test_g1_msm_pallas_device_combine(g1pts):
         assert MP.msm_host_pallas_fused(C.G1, aff, sd, 4, 4, 2) == want
         assert MP.msm_host_pallas_fused(
             C.G1, aff, sd, 4, 4, 2, slice_n=16) == want
+
+
+@pytest.mark.slow
+def test_g2_msm_pallas_device_combine():
+    """The field-generic combine kernel (suffix/fold/ladder over the Fq2
+    adapter) matches the oracle for G2."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
+
+    rng = random.Random(84)
+    base = O.random_g2_points(rng, 4)
+    pts = [base[i % 4] for i in range(8)]
+    scalars = [rng.randrange(R) for _ in pts]
+    aff = C.g2_affine_from_ints(pts)
+    sd = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
+    want = O.g2_msm(pts, scalars)
+    with pltpu.force_tpu_interpret_mode():
+        assert MP.msm_host_pallas_fused(C.G2, aff, sd, 4, 2, 2) == want

@@ -215,9 +215,58 @@ def _madd_t(f, acc, aff):
     return (x3, y3, z3)
 
 
+def _padd_t(f, p, q):
+    """Transposed complete projective addition (RCB Algorithm 7, a=0),
+    field elements [nc*L, lanes].  Used by the in-kernel window combine
+    (bucket suffix sums / chunk fold / ladder) where both operands are
+    projective bucket accumulators."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = f.mul(x1, x2)
+    t1 = f.mul(y1, y2)
+    t2 = f.mul(z1, z2)
+    t3 = f.mul(f.add(x1, y1), f.add(x2, y2))
+    t3 = f.sub(t3, f.add(t0, t1))
+    t4 = f.mul(f.add(y1, z1), f.add(y2, z2))
+    t4 = f.sub(t4, f.add(t1, t2))
+    ty = f.mul(f.add(x1, z1), f.add(x2, z2))
+    ty = f.sub(ty, f.add(t0, t2))
+    t0 = f.add(f.double(t0), t0)
+    t2 = f.mul_b3(t2)
+    z3 = f.add(t1, t2)
+    t1 = f.sub(t1, t2)
+    ty = f.mul_b3(ty)
+    x3 = f.mul_pair_sub(t3, t1, t4, ty)
+    y3 = f.mul_pair(t1, z3, ty, t0)
+    z3 = f.mul_pair(z3, t4, t0, t3)
+    return (x3, y3, z3)
+
+
+def _pdbl_t(f, p):
+    """Transposed complete doubling (RCB Algorithm 9, a=0)."""
+    x, y, z = p
+    t0 = f.mul(y, y)
+    z3 = f.double(f.double(f.double(t0)))
+    t1 = f.mul(y, z)
+    t2 = f.mul_b3(f.mul(z, z))
+    x3 = f.mul(t2, z3)
+    y3 = f.add(t0, t2)
+    z3 = f.mul(t1, z3)
+    t2 = f.add(f.double(t2), t2)
+    t0 = f.sub(t0, t2)
+    y3 = f.add(f.mul(t0, y3), x3)
+    x3 = f.double(f.mul(t0, f.mul(x, y)))
+    return (x3, y3, z3)
+
+
 def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, wnp_ref,
-            wp_ref, out_ref, bx, by, bz, *, f, k_inner, chunks, w_count,
-            nb, steps, redc_mxu):
+            wp_ref, *rest, f, k_inner, chunks, w_count,
+            nb, steps, redc_mxu, has_init):
+    if has_init:
+        init_ref, out_ref, bx, by, bz = rest
+    else:
+        init_ref = None
+        out_ref, bx, by, bz = rest
     g = pl.program_id(0)
     rows = f.nc * FQ.n_limbs
     P = chunks * w_count
@@ -227,10 +276,18 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, wnp_ref,
 
     @pl.when(g == 0)
     def _init():
-        one = f.one_rows(P)
-        bx[...] = jnp.zeros((nb, rows, P), jnp.int32)
-        by[...] = jnp.broadcast_to(one[None], (nb, rows, P))
-        bz[...] = jnp.zeros((nb, rows, P), jnp.int32)
+        if has_init:
+            # resume from a prior slice's bucket state (the 2^20..2^24
+            # sliced sweep accumulates into ONE state instead of adding
+            # [W] window sums per slice)
+            bx[...] = init_ref[0]
+            by[...] = init_ref[1]
+            bz[...] = init_ref[2]
+        else:
+            one = f.one_rows(P)
+            bx[...] = jnp.zeros((nb, rows, P), jnp.int32)
+            by[...] = jnp.broadcast_to(one[None], (nb, rows, P))
+            bz[...] = jnp.zeros((nb, rows, P), jnp.int32)
 
     expand = expand_ref[...]  # [chunks, P] f32 0/1 block-expansion matrix
 
@@ -293,13 +350,16 @@ def _coord_rows(leaf_or_pair):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def bucket_accumulate(group: Group, points, digits, c: int = 4,
-                      chunks: int = 32, k_inner: int = 4):
+def bucket_state(group: Group, points, digits, c: int = 4,
+                 chunks: int = 32, k_inner: int = 4, init=None):
     """Run the VMEM bucket kernel over signed digits.
 
     points: affine pytree (x, y, inf) with [n, L] leaves (G1) or
-    ((c0, c1), ...) pairs (G2); digits: SIGNED [n, W].  Returns bucket
-    pytree leaves [chunks, W, nb, L] matching the XLA path's layout.
+    ((c0, c1), ...) pairs (G2); digits: SIGNED [n, W].  Returns the raw
+    bucket state [3, nb, nc*L, chunks*W] (coordinate, bucket-1, limb
+    rows, chunk-major lanes).  ``init`` resumes from a prior state — the
+    sliced large-n path chains slices through one state instead of
+    combining per-slice window sums.
     """
     from .msm import padded_affine
 
@@ -355,27 +415,35 @@ def bucket_accumulate(group: Group, points, digits, c: int = 4,
     kernel = functools.partial(
         _kernel, f=f, k_inner=k_inner, chunks=chunks,
         w_count=w_count, nb=nb, steps=steps,
-        redc_mxu=pallas_redc_mxu(),
+        redc_mxu=pallas_redc_mxu(), has_init=init is not None,
     )
-    out = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, k_inner, rows, chunks),
+                     lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_inner, rows, chunks),
+                     lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_inner, 1, P), lambda g: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_inner, 1, P), lambda g: (g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunks, P), lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_np.shape, lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_p.shape, lambda g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xs_t, ys_t, mags, signs, expand, jnp.asarray(w_np),
+            jnp.asarray(w_p)]
+    if init is not None:
+        in_specs.append(
+            pl.BlockSpec((3, nb, rows, P), lambda g: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(init)
+    return pl.pallas_call(
         kernel,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((1, k_inner, rows, chunks),
-                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_inner, rows, chunks),
-                         lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_inner, 1, P), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_inner, 1, P), lambda g: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunks, P), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_np.shape, lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_p.shape, lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, nb, rows, P), lambda g: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, nb, rows, P), jnp.int32),
@@ -387,10 +455,20 @@ def bucket_accumulate(group: Group, points, digits, c: int = 4,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(xs_t, ys_t, mags, signs, expand, jnp.asarray(w_np),
-      jnp.asarray(w_p))
+    )(*args)
 
-    # [3, nb, rows, P] -> coordinate pytrees [chunks, W, nb, L]
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def bucket_accumulate(group: Group, points, digits, c: int = 4,
+                      chunks: int = 32, k_inner: int = 4):
+    """Bucket state as coordinate pytrees [chunks, W, nb, L] (the XLA
+    path's layout, consumed by the XLA suffix-sum path and tests)."""
+    f = _adapter(group)
+    L = FQ.n_limbs
+    w_count = digits.shape[1]
+    nb = 1 << (c - 1)
+    out = bucket_state(group, points, digits, c, chunks, k_inner)
+
     def untangle(coord):
         def comp(c0):
             a = out[coord, :, c0 * L : (c0 + 1) * L].reshape(
@@ -403,6 +481,126 @@ def bucket_accumulate(group: Group, points, digits, c: int = 4,
         return (comp(0), comp(1))
 
     return (untangle(0), untangle(1), untangle(2))
+
+
+def _combine_kernel(state_ref, wnp_ref, wp_ref, out_ref, *, f, c,
+                    chunks, w_count, nb, redc_mxu):
+    """Suffix sums over buckets + chunk fold + window doubling ladder,
+    entirely in VMEM — replaces the XLA-level scan/fold/ladder tail that
+    cost ~130 ms of serial small-kernel dispatches per MSM (measured;
+    this kernel runs in ~1-2 ms).  Output: ONE packed projective point
+    [3, rows, 128] (lane 0 carries the value)."""
+    rows = f.nc * FQ.n_limbs
+    P = chunks * w_count
+    f.tables = (wnp_ref[...], wp_ref[...]) if redc_mxu else None
+
+    one = f.one_rows(P)
+    zero = jnp.zeros((rows, P), jnp.int32)
+    ident = (zero, one, zero)
+
+    def suffix_body(b, carry):
+        running, tot = carry
+        idx = nb - 1 - b
+        bucket = (state_ref[0, idx], state_ref[1, idx], state_ref[2, idx])
+        running = _padd_t(f, running, bucket)
+        tot = _padd_t(f, tot, running)
+        return (running, tot)
+
+    _, tot = jax.lax.fori_loop(0, nb, suffix_body, (ident, ident))
+
+    # Chunk fold.  Lane-offset slices of the chunk-major [rows, P] state
+    # produce layouts Mosaic cannot re-concatenate (offset vregs inside
+    # the ripple concats), so each chunk's [rows, w_count] block is
+    # extracted into an ALIGNED 64-lane array via an exact one-hot f32
+    # matmul (single 1 per column, values <= 2^13 — exact at HIGHEST),
+    # then the chunks tree-fold with projective adds.  Pad lanes
+    # (>= w_count) carry all-zero garbage that never feeds valid lanes
+    # (bounded: zero limbs stay zero through muls).
+    w_pad = -(-w_count // 64) * 64
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (P, w_pad), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (P, w_pad), 1)
+
+    def extract(ci):
+        e = jnp.logical_and(
+            lane_i == col_i + ci * w_count, col_i < w_count
+        ).astype(jnp.float32)
+        return tuple(
+            jnp.dot(t.astype(jnp.float32), e,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+            for t in tot)
+
+    blocks = [extract(ci) for ci in range(chunks)]
+    while len(blocks) > 1:
+        nxt = [_padd_t(f, blocks[i], blocks[i + 1])
+               for i in range(0, len(blocks) - 1, 2)]
+        if len(blocks) % 2:
+            nxt.append(blocks[-1])
+        blocks = nxt
+    tot = blocks[0]  # [rows, w_pad], windows 0..w_count-1 valid
+
+    # Horner ladder over the window sums, highest window first:
+    # acc = 2^c * acc + S_w.  Column extraction rides the MXU via a
+    # one-hot [w_pad, 1] f32 matmul.
+    onec = f.one_rows(1)
+    zero1 = jnp.zeros((rows, 1), jnp.int32)
+    ident1 = (zero1, onec, zero1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (w_pad, 1), 0)
+
+    def ladder_body(i, acc):
+        w = w_count - 1 - i
+        for _ in range(c):
+            acc = _pdbl_t(f, acc)
+        hot = (lane_iota == w).astype(jnp.float32)
+        col = tuple(
+            jnp.dot(t.astype(jnp.float32), hot,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+            for t in tot)
+        return _padd_t(f, acc, col)
+
+    acc = jax.lax.fori_loop(0, w_count, ladder_body, ident1)
+    out_ref[0] = jnp.broadcast_to(acc[0], (rows, 128))
+    out_ref[1] = jnp.broadcast_to(acc[1], (rows, 128))
+    out_ref[2] = jnp.broadcast_to(acc[2], (rows, 128))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def combine_state_pallas(group: Group, state, c: int, chunks: int,
+                         w_count: int):
+    """Bucket state [3, nb, rows, P] -> packed projective point [3*rows]
+    (the _pack_point layout: x rows, y rows, z rows; Fq2 components
+    stacked c0-then-c1 within each coordinate)."""
+    from ..config import pallas_redc_mxu
+
+    f = _adapter(group)
+    rows = f.nc * FQ.n_limbs
+    nb = 1 << (c - 1)
+    P = chunks * w_count
+    w_np, w_p = FT.redc_tables(FQ)
+    kernel = functools.partial(
+        _combine_kernel, f=f, c=c, chunks=chunks, w_count=w_count,
+        nb=nb, redc_mxu=pallas_redc_mxu(),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((3, nb, rows, P), lambda g: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_np.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_p.shape, lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, rows, 128), lambda g: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, rows, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(state, jnp.asarray(w_np), jnp.asarray(w_p))
+    return out[:, :, 0].reshape(-1)
 
 
 def window_sums_pallas(group: Group, points, digits, c: int = 4,
@@ -469,17 +667,15 @@ def _unpack_point(group: Group, flat):
 def msm_pallas_device(group: Group, points, digits, c: int = 4,
                       chunks: int = 32, k_inner: int = 4,
                       slice_n: int = 1 << 20):
-    """Whole MSM fused on device: bucket kernel + suffix sums + the
-    W-window doubling-ladder combine (ops.msm.combine_windows) in one
-    executable — the readback is a single PACKED projective point instead
-    of [W] window sums, so one tunnel round trip replaces both the host
-    ladder and the per-coordinate transfers.  The ladder is ~255
-    sequential batch-1 adds, negligible *inside* a jit (it only hurt as
-    eager per-op dispatch)."""
-    from .msm import combine_windows
-
-    wsums = window_sums_pallas(group, points, digits, c, chunks, k_inner)
-    return _pack_point(combine_windows(group, wsums, c))
+    """Whole MSM fused on device: bucket kernel + in-VMEM combine kernel
+    (suffix sums, chunk fold, window doubling ladder) — the readback is a
+    single PACKED projective point.  The combine runs as a second Pallas
+    kernel (~1-2 ms) instead of the XLA scan/ladder tail, whose ~350
+    serial small-kernel dispatches cost ~130 ms per MSM (measured on
+    v5e)."""
+    state = bucket_state(group, points, digits, c, chunks, k_inner)
+    return combine_state_pallas(group, state, c, chunks,
+                                digits.shape[1])
 
 
 _combine_windows_jit = None
@@ -511,9 +707,21 @@ def msm_device_proj(group: Group, points, digits, c: int = 4,
     if n <= slice_n:
         return msm_pallas_device(group, points, digits, c, chunks,
                                  k_inner, slice_n)
-    wsums = window_sums_pallas_sliced(group, points, digits, c,
-                                      chunks, k_inner, slice_n)
-    return _get_combine_windows_jit()(group, wsums, c)
+    # large n: chain the bucket state across fixed-size kernel passes
+    # (one compiled executable, bounded HBM residency), combine once
+    from .msm import _tree_map, padded_affine
+
+    state = None
+    for s in range(0, n, slice_n):
+        e = min(s + slice_n, n)
+        pts = _tree_map(lambda l: l[s:e], points)
+        digs = jnp.asarray(digits[s:e])
+        if e - s < slice_n:
+            pts = padded_affine(group, pts, slice_n)
+            digs = jnp.pad(digs, ((0, slice_n - (e - s)), (0, 0)))
+        state = bucket_state(group, pts, digs, c, chunks, k_inner,
+                             init=state)
+    return combine_state_pallas(group, state, c, chunks, digits.shape[1])
 
 
 def packed_to_int_point(group: Group, packed):
