@@ -30,10 +30,10 @@ from zcash_gpu_thesis_tpu.oracle import curve as O  # noqa: E402
 
 import random  # noqa: E402
 
-N = 131072
-C = 5
-CHUNKS = 16
-K_INNER = 8
+N = int(os.environ.get("KB_N", 131072))
+C = int(os.environ.get("KB_C", 5))
+CHUNKS = int(os.environ.get("KB_CHUNKS", 16))
+K_INNER = int(os.environ.get("KB_K", 8))
 
 
 def setup():

@@ -41,7 +41,10 @@ def msm_config() -> MsmConfig:
     impl = os.environ.get("ZKTPU_MSM_IMPL", "pallas" if on_tpu else "xla")
     return MsmConfig(
         impl=impl,
-        c=int(os.environ.get("ZKTPU_MSM_C", "5")),
+        # c=6 measured optimum on v5e (215 ms vs 225 at c=5, 252 at c=8
+        # for the 131k G1 MSM): madd work ~W=43 vs the one-hot select's
+        # ~2^(c-1) growth
+        c=int(os.environ.get("ZKTPU_MSM_C", "6")),
         chunks=int(os.environ.get("ZKTPU_MSM_CHUNKS",
                                   "32" if on_tpu else "8")),
         k_inner=int(os.environ.get("ZKTPU_MSM_K", "4")),

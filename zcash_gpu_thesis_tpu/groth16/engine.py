@@ -34,6 +34,9 @@ from ..oracle import pairing as opairing
 def _make_digits_impl(scal, n_pad: int, c: int):
     from ..ops import msm as M
 
+    # int16 uploads (half the tunnel bytes) widen here: the digit
+    # stitching shifts limbs left by up to 11 bits (> int16 headroom)
+    scal = scal.astype(jnp.int32)
     scal = jnp.pad(scal, ((0, n_pad - scal.shape[0]), (0, 0)))
     return M.recode_signed_dev(M.digits_from_canonical(scal, c), c)
 

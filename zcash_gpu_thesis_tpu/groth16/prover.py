@@ -119,17 +119,20 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         def pack_canon(vals):
             # canonical limbs via the vectorized bytes+numpy repack; the
             # Montgomery scaling is fused into the H(x) executable
-            # (h_poly_dev_canon) instead of a host round trip per vector
+            # (h_poly_dev_canon) instead of a host round trip per vector.
+            # int16 upload (limbs < 2^12): halves the host->device bytes
+            # through the tunnel; widened to int32 on device.
             arr = Ff.batch_to_limbs(Ff.FR, vals, mont=False)
             pad = m - arr.shape[0]
             if pad:
                 arr = np.pad(arr, ((0, pad), (0, 0)))
-            return jnp.asarray(arr)
+            return jnp.asarray(arr.astype(np.int16))
 
         a_m, b_m, c_m = (pack_canon(v) for v in
                          (prover.a, prover.b, prover.c))
         asg_dev = jnp.asarray(
-            Ff.batch_to_limbs(Ff.FR, assignment, mont=False)
+            Ff.batch_to_limbs(Ff.FR, assignment, mont=False).astype(
+                np.int16)
         )
         aux_dev = asg_dev[n_in:]
         t0 = _t("pack/upload", t0)

@@ -301,20 +301,22 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, wnp_ref,
         y = ys_ref[0, t]
         mag = mag_ref[0, t]    # [1, P]
         sign = sign_ref[0, t]  # [1, P]
-        # chunk -> (chunk, window) lane broadcast: exact f32 matmul with
-        # the one-hot expansion matrix (single 1 per column => exact)
-        # HIGHEST precision: the MXU's default bf16 passes would round
-        # 13-bit limb values; highest-precision f32 keeps them exact
-        xb = jnp.dot(
-            x.astype(jnp.float32), expand,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
-        yb = jnp.dot(
-            y.astype(jnp.float32), expand,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
+        # chunk -> (chunk, window) lane broadcast: exact matmul with the
+        # one-hot expansion matrix (single 1 per column => exact).  The
+        # 13-bit limbs split into 7-bit halves so each dot is a DEFAULT
+        # single-pass bf16 matmul (values <= 127 are bf16-exact); this
+        # replaced one HIGHEST-precision f32 dot (~6 MXU passes) with
+        # two 1-pass dots per coordinate.
+        def bcast(v):
+            dot = functools.partial(
+                jnp.dot, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lo = dot((v & 127).astype(jnp.float32), expand)
+            hi = dot((v >> 7).astype(jnp.float32), expand)
+            return lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 7)
+
+        xb = bcast(x)
+        yb = bcast(y)
         yb = FT.select(sign != 0, f.neg(yb), yb)
 
         # one-hot bucket gather/scatter: mask against a bucket-id iota and
