@@ -228,3 +228,22 @@ def test_mimc_dummy_prove_verify():
         )
         assert verify_proof(e, pvk, proof, [image])
         assert not verify_proof(e, pvk, proof, [(image + 1) % e.r])
+
+
+def test_engine_msm_int_scalars_matches_oracle():
+    """engine.msm_g1/msm_g2 with python-int scalars agree with the host
+    oracle — regression: the digit width c must reach the kernel call
+    (a hardcoded c=4 silently dropped high-digit terms once ZKTPU_MSM_C
+    moved to 5/6)."""
+    from zcash_gpu_thesis_tpu.oracle import curve as O
+
+    e = BlsEngine()
+    rng = random.Random(91)
+    g1 = O.random_g1_points(rng, 4)
+    pts1 = [g1[i % 4] for i in range(20)]
+    g2 = O.random_g2_points(rng, 2)
+    pts2 = [g2[i % 2] for i in range(6)]
+    s1 = [rng.randrange(e.r) for _ in pts1]
+    s2 = [rng.randrange(e.r) for _ in pts2]
+    assert e.msm_g1(pts1, s1) == O.g1_msm(pts1, s1)
+    assert e.msm_g2(pts2, s2) == O.g2_msm(pts2, s2)

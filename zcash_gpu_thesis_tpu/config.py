@@ -97,6 +97,13 @@ def g2_pallas_params() -> tuple:
             int(os.environ.get("ZKTPU_G2_K", "8")))
 
 
+def g2_c() -> int:
+    """G2 window bit width (ZKTPU_G2_C).  Separate from the G1 width:
+    the Fq2 madd is ~3x the element work per lane, so the select/madd
+    crossover sits at a different c; the VMEM bucket state is 2x rows."""
+    return int(os.environ.get("ZKTPU_G2_C", "4"))
+
+
 def mesh_devices() -> int:
     """Multi-chip engine mode: ZKTPU_MESH=N routes the prover's MSMs and
     the H(x) NTT chain through the mesh-sharded paths (parallel.mesh)

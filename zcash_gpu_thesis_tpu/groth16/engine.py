@@ -251,12 +251,13 @@ class BlsEngine:
 
     @staticmethod
     def _c_for(group_name: str) -> int:
-        """Window width: G1 follows ZKTPU_MSM_C (c=5 is the measured
+        """Window width: G1 follows ZKTPU_MSM_C (c=6 is the measured
         optimum of madd work ~w_count vs one-hot scatter ~2^(c-1)*w_count
-        on v5e); G2 stays at 4 to keep the Fq2 kernel's VMEM bucket state
-        and Mosaic compile small."""
+        on v5e); G2 follows ZKTPU_G2_C."""
         if group_name != "g1":
-            return 4
+            from ..config import g2_c
+
+            return g2_c()
         from ..config import msm_config
 
         return msm_config().c
@@ -522,12 +523,12 @@ class BlsEngine:
 
             ck = (16, 8) if group_name == "g1" else g2_pallas_params()
             sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
-            return MP.msm_host_pallas_fused(group, aff, digits, 4, *ck,
+            return MP.msm_host_pallas_fused(group, aff, digits, c, *ck,
                                             slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
             # XLA G2 fallback sized for TPU
-            return M.msm_host(group, aff, digits, 4, 128, 8, signed=True)
-        return M.msm_host(group, aff, digits, 4, self.msm_chunks,
+            return M.msm_host(group, aff, digits, c, 128, 8, signed=True)
+        return M.msm_host(group, aff, digits, c, self.msm_chunks,
                           self.msm_k_inner, signed=True)
 
     def msm_g1(self, bases, scalars):
