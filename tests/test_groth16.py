@@ -241,9 +241,18 @@ def test_engine_msm_int_scalars_matches_oracle():
     rng = random.Random(91)
     g1 = O.random_g1_points(rng, 4)
     pts1 = [g1[i % 4] for i in range(20)]
+    s1 = [rng.randrange(e.r) for _ in pts1]
+    assert e.msm_g1(pts1, s1) == O.g1_msm(pts1, s1)
+
+
+@pytest.mark.slow
+def test_engine_msm_g2_int_scalars_matches_oracle():
+    """G2 half of the c-width regression (slow: Fq2 XLA compile)."""
+    from zcash_gpu_thesis_tpu.oracle import curve as O
+
+    e = BlsEngine()
+    rng = random.Random(92)
     g2 = O.random_g2_points(rng, 2)
     pts2 = [g2[i % 2] for i in range(6)]
-    s1 = [rng.randrange(e.r) for _ in pts1]
     s2 = [rng.randrange(e.r) for _ in pts2]
-    assert e.msm_g1(pts1, s1) == O.g1_msm(pts1, s1)
     assert e.msm_g2(pts2, s2) == O.g2_msm(pts2, s2)

@@ -61,7 +61,11 @@ def test_g1_msm_zero_result(g1pts):
     assert got is None
 
 
-@pytest.mark.parametrize("c", [1, 4, 8, 12])
+@pytest.mark.parametrize("c", [
+    1, 4,
+    pytest.param(8, marks=pytest.mark.slow),
+    pytest.param(12, marks=pytest.mark.slow),
+])
 def test_g1_msm_window_widths(g1pts, c):
     rng = random.Random(c)
     scalars = [rng.randrange(R) for _ in g1pts]
@@ -71,6 +75,7 @@ def test_g1_msm_window_widths(g1pts, c):
     assert got == want
 
 
+@pytest.mark.slow
 def test_g2_msm_random():
     rng = random.Random(2)
     pts = O.random_g2_points(rng, 6)

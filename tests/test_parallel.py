@@ -11,6 +11,11 @@ import random
 import numpy as np
 import pytest
 
+# Entirely compile-bound (8-device shard_map graphs take minutes each to
+# build on the CPU backend) and fully covered by the driver-run
+# __graft_entry__.dryrun_multichip every round — slow tier.
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

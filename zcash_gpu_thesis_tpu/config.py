@@ -100,8 +100,9 @@ def g2_pallas_params() -> tuple:
 def g2_c() -> int:
     """G2 window bit width (ZKTPU_G2_C).  Separate from the G1 width:
     the Fq2 madd is ~3x the element work per lane, so the select/madd
-    crossover sits at a different c; the VMEM bucket state is 2x rows."""
-    return int(os.environ.get("ZKTPU_G2_C", "4"))
+    crossover sits at a different c.  c=6 measured 334 ms vs 438 ms at
+    c=4 for the 2^16 G2 MSM on v5e (-24%)."""
+    return int(os.environ.get("ZKTPU_G2_C", "6"))
 
 
 def mesh_devices() -> int:

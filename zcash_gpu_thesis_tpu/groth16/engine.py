@@ -222,7 +222,62 @@ class BlsEngine:
         return ocurve.g1_add(a, b)
 
     def g1_mul(self, a, k):
-        return ocurve.g1_mul(a, k % FR_MOD)
+        """Host single-point mul via wNAF w=5 (wnaf.rs wnaf_exp): ~300
+        EC ops vs ~382 for plain double-and-add — the blinding algebra's
+        variable-base muls (s*g_a, r*g_b1) are on the warm-proof path."""
+        k = k % FR_MOD
+        if a is None or k == 0:
+            return None
+        from ..utils.wnaf import wnaf_exp
+
+        return wnaf_exp(ocurve.g1_add, self.g1_neg, None, a, k, window=5)
+
+    # Host comb tables for FIXED single points (the CRS deltas: three
+    # g1 muls + one g2 mul of the blinding algebra are against per-CRS
+    # constants).  c=4 comb: 64 windows x 15 odd rows, ~0.1 s one-time
+    # build per base, then ~64 adds (~7 ms) per mul instead of a ~40 ms
+    # double-and-add chain.  The reference's analog is the shared wNAF
+    # window table (wnaf.rs:75).
+    _host_fb: dict = {}
+    _host_fb_c = 4
+
+    def _host_fixed_mul(self, add, tag, base, k):
+        k = int(k) % FR_MOD
+        if base is None or k == 0:
+            return None
+        key = (tag, base)
+        tab = BlsEngine._host_fb.get(key)
+        if tab is None:
+            c = self._host_fb_c
+            w_count = -(-256 // c)
+            tab = []
+            b = base
+            for _ in range(w_count):
+                row = [None]
+                acc = None
+                for _ in range(1, 1 << c):
+                    acc = add(acc, b)
+                    row.append(acc)
+                tab.append(row)
+                for _ in range(c):
+                    b = add(b, b)
+            BlsEngine._host_fb[key] = tab
+        c = self._host_fb_c
+        mask = (1 << c) - 1
+        acc, w = None, 0
+        while k:
+            d = k & mask
+            if d:
+                acc = add(acc, tab[w][d])
+            k >>= c
+            w += 1
+        return acc
+
+    def g1_mul_fixed(self, base, k):
+        return self._host_fixed_mul(ocurve.g1_add, "g1", base, k)
+
+    def g2_mul_fixed(self, base, k):
+        return self._host_fixed_mul(ocurve.g2_add, "g2", base, k)
 
     def g1_neg(self, a):
         return None if a is None else (a[0], (-a[1]) % ocurve.Q)

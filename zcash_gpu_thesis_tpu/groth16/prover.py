@@ -177,20 +177,24 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         b2_all = engine.msm_g2(params.b_g2, assignment)
         t0 = _t("msm b_g2", t0)
 
-    # Blinding algebra (prover.rs:326-354).
+    # Blinding algebra (prover.rs:326-354).  The delta muls are against
+    # per-CRS constants — comb-table fixed-base when the engine has one
+    # (BlsEngine.g1_mul_fixed); g_a/g_b1 are per-proof points (wNAF).
+    mulf1 = getattr(engine, "g1_mul_fixed", engine.g1_mul)
+    mulf2 = getattr(engine, "g2_mul_fixed", engine.g2_mul)
     g_a = engine.g1_add(
-        engine.g1_add(vk.alpha_g1, engine.g1_mul(vk.delta_g1, r)), a_all
+        engine.g1_add(vk.alpha_g1, mulf1(vk.delta_g1, r)), a_all
     )
     g_b = engine.g2_add(
-        engine.g2_add(vk.beta_g2, engine.g2_mul(vk.delta_g2, s)), b2_all
+        engine.g2_add(vk.beta_g2, mulf2(vk.delta_g2, s)), b2_all
     )
     g_b1 = engine.g1_add(
-        engine.g1_add(vk.beta_g1, engine.g1_mul(vk.delta_g1, s)), b1_all
+        engine.g1_add(vk.beta_g1, mulf1(vk.delta_g1, s)), b1_all
     )
     g_c = engine.g1_add(
         engine.g1_add(
             engine.g1_add(engine.g1_mul(g_a, s), engine.g1_mul(g_b1, r)),
-            engine.g1_mul(vk.delta_g1, (-r * s) % p),
+            mulf1(vk.delta_g1, (-r * s) % p),
         ),
         engine.g1_add(h, l),
     )
