@@ -252,3 +252,31 @@ def test_g2_msm_pallas_device_combine():
     want = O.g2_msm(pts, scalars)
     with pltpu.force_tpu_interpret_mode():
         assert MP.msm_host_pallas_fused(C.G2, aff, sd, 4, 2, 2) == want
+
+
+@pytest.mark.slow
+def test_msm_hybrid_window_split(g1pts):
+    """The thesis's proposed CPU+device window split (Chapter7.tex:86,
+    lower_half kernels bls12-381.cl:2496-2553): top-k windows on a host
+    thread, low windows through the device kernel, one scaled combine.
+    Must match the oracle for several split points including all-host
+    and all-device."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu.ops.msm_hybrid import msm_hybrid
+
+    rng = random.Random(85)
+    pts = [g1pts[i % len(g1pts)] for i in range(24)]
+    pts[5] = None
+    scalars = [rng.randrange(R) for _ in pts]
+    scalars[0] = 0
+    aff = C.g1_affine_from_ints(pts)
+    sd = M.recode_signed(M.digits_from_ints(scalars, 4), 4)
+    want = O.g1_msm([p for p in pts if p is not None],
+                    [s for p, s in zip(pts, scalars) if p is not None])
+    with pltpu.force_tpu_interpret_mode():
+        for hw in (0, 3, 60):
+            got = msm_hybrid(C.G1, "g1", pts, aff, sd, 4, 4, 2,
+                             host_windows=hw)
+            assert got == want, hw

@@ -97,6 +97,15 @@ def g2_pallas_params() -> tuple:
             int(os.environ.get("ZKTPU_G2_K", "8")))
 
 
+def msm_hybrid_windows() -> int:
+    """Top windows accumulated on the host, overlapped with the device
+    sweep (ZKTPU_MSM_HYBRID_WINDOWS; the thesis's proposed CPU+GPU
+    window split, Chapter7.tex:86).  Default 0 = all-device: on v5e the
+    host python-int bucket update is ~10^3x slower than the VMEM
+    kernel's, so any host share loses (see ops/msm_hybrid.py)."""
+    return int(os.environ.get("ZKTPU_MSM_HYBRID_WINDOWS", "0"))
+
+
 def g2_c() -> int:
     """G2 window bit width (ZKTPU_G2_C).  Separate from the G1 width:
     the Fq2 madd is ~3x the element work per lane, so the select/madd

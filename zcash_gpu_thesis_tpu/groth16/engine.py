@@ -563,7 +563,11 @@ class BlsEngine:
                 import numpy as np
 
                 scalars = [scalars[i] for i in np.asarray(nz_idx)]
+                bases = [bases[i] for i in np.asarray(nz_idx)]
             scalars = list(scalars) + [0] * (n_pad - len(scalars))
+            # keep the host-side base list row-aligned with the digit
+            # array (the hybrid window split accumulates on the host)
+            bases = list(bases) + [None] * (n_pad - len(bases))
         else:
             bases, scalars = self._compact_pad(bases, scalars)
             aff = from_ints(bases)
@@ -573,11 +577,17 @@ class BlsEngine:
 
         impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
         if impl == "pallas":
-            from ..config import g2_pad_floor
+            from ..config import g2_pad_floor, msm_hybrid_windows
             from ..ops import msm_pallas as MP
 
             ck = (16, 8) if group_name == "g1" else g2_pallas_params()
             sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+            hw = msm_hybrid_windows()
+            if hw > 0:
+                from ..ops.msm_hybrid import msm_hybrid
+
+                return msm_hybrid(group, group_name, bases, aff, digits,
+                                  c, *ck, host_windows=hw, slice_n=sl)
             return MP.msm_host_pallas_fused(group, aff, digits, c, *ck,
                                             slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
