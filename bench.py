@@ -410,14 +410,14 @@ def main():
     pts = [base[i % 64] for i in range(N)]
     scalars = [rng.randrange(O.R) for _ in range(N)]
 
-    aff = cv.g1_affine_from_ints(pts)
-    digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4), 4))
-
     from zcash_gpu_thesis_tpu.config import msm_config
     from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
 
     cfg = msm_config()
     c, chunks, k_inner = cfg.c, 16, 8
+
+    aff = cv.g1_affine_from_ints(pts)
+    digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, c), c))
 
     def run():
         # VMEM-resident bucket kernel on TPU; XLA scan path on CPU.
@@ -428,13 +428,21 @@ def main():
                                             k_inner)
         return M.msm_host(G1, aff, digits, c, 256, k_inner, signed=True)
 
-    run()  # warmup/compile
+    out = run()  # warmup/compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
+        out = run()
         times.append(time.perf_counter() - t0)
     t = min(times)
+
+    # bit-exact check: the point stream tiles 64 bases, so the true sum
+    # is sum_j (sum of class-j scalars mod r) * P_j (64 host mults)
+    want = None
+    for j in range(64):
+        s = sum(scalars[j::64]) % O.R
+        want = O.g1_add(want, O.g1_mul(base[j], s))
+    ok = out == want
     print(
         json.dumps(
             {
@@ -442,9 +450,11 @@ def main():
                 "value": round(t, 4),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_S / t, 3),
+                "bit_exact": ok,
             }
         )
     )
+    assert ok, "headline MSM does not match the oracle"
 
 
 if __name__ == "__main__":
