@@ -608,6 +608,7 @@ class BlsEngine:
     # W = 32 gathered mixed adds — the role of the reference generator's
     # shared wNAF window tables (pairing/src/wnaf.rs:75, generator.rs).
     _fb_c = 8
+    _FB_SLICE = 1 << 17  # max points per fixed-base executable (HBM bound)
     _fb_tables: dict = {}
 
     def _fb_table(self, group_name, from_ints, gen):
@@ -641,11 +642,16 @@ class BlsEngine:
         c = self._fb_c
         n_real = len(scalars)
         # pad to a power of two so CRS base vectors of similar size share
-        # one compiled executable (scalar 0 -> identity -> sliced off)
+        # one compiled executable (scalar 0 -> identity -> sliced off);
+        # above _FB_SLICE, run fixed-size slices through ONE executable —
+        # the monolithic 2^21 walk (Sprout CRS) allocates multi-GB of
+        # gather intermediates and crashes the TPU worker
         n = 1
         while n < n_real:
             n *= 2
-        padded = [int(k) % FR_MOD for k in scalars] + [0] * (n - n_real)
+        slice_n = min(n, self._FB_SLICE)
+        padded = ([int(k) % FR_MOD for k in scalars]
+                  + [0] * (-n_real % slice_n))
         digits = M.digits_from_ints(padded, c)  # [n, W]
         W = digits.shape[1]
         idx = (digits.T.astype(np.int32)
@@ -663,10 +669,13 @@ class BlsEngine:
                 )
                 return group.add_mixed(acc, aff), None
 
-            acc, _ = jax.lax.scan(body, group.identity((n,)), idx)
+            acc, _ = jax.lax.scan(body, group.identity((slice_n,)), idx)
             return group.to_affine(acc)
 
-        return to_ints(run(jnp.asarray(idx)))[:n_real]
+        out = []
+        for s in range(0, idx.shape[1], slice_n):
+            out.extend(to_ints(run(jnp.asarray(idx[:, s:s + slice_n]))))
+        return out[:n_real]
 
     def fixed_base_g1(self, scalars):
         """[k_i * G1] batched on device (generator's wNAF-table analogue,

@@ -36,9 +36,12 @@ def _sync(x):
 
     jax.block_until_ready(x)
     # the experimental axon backend can return early from
-    # block_until_ready; a tiny host read forces real completion
+    # block_until_ready; a tiny host read forces real completion.  The
+    # slice happens on device so only one element crosses the tunnel —
+    # a full np.asarray here would add an O(n) readback that the
+    # shape-capped null floor can't cancel at 2^20+.
     leaf = jax.tree.leaves(x)[0]
-    np.asarray(leaf).ravel()[:1]
+    np.asarray(leaf.reshape(-1)[:1])
     return x
 
 
@@ -126,10 +129,14 @@ def field_rows(sizes):
     return rows
 
 
-def compute_only_row(iters: int = 2048, lanes: int = 8192):
+def compute_only_row(iters: int = 8192, lanes: int = 2048):
     """Dispatch-amortized mont_mul rate: one Pallas kernel chaining
     `iters` multiplies over a [L, lanes] VMEM block (scripts/fbench.py's
-    probe, inlined)."""
+    probe, inlined).
+
+    lanes=2048 keeps the mont_mul intermediate graph inside the 16 MB
+    scoped-VMEM stack limit on the real chip (8192 lanes OOMs at 23 MB);
+    iters is raised to keep dispatch amortized to noise."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
