@@ -14,8 +14,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -58,10 +56,11 @@ def main():
             t0 = time.time()
             out = run()  # compile + first run
             t_first = time.time() - t0
-            best = min(
-                (lambda t0=time.perf_counter(): (run(),
-                 time.perf_counter() - t0)[1])()
-                for _ in range(3))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
             ok = out == want
             print(f"c={c} chunks={chunks} k={k_inner} "
                   f"t={best*1e3:.1f}ms first={t_first:.1f}s ok={ok}",

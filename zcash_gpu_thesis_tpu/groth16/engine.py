@@ -652,7 +652,7 @@ class BlsEngine:
         slice_n = min(n, self._FB_SLICE)
         padded = ([int(k) % FR_MOD for k in scalars]
                   + [0] * (-n_real % slice_n))
-        digits = M.digits_from_ints(padded, c)  # [n, W]
+        digits = M.digits_from_ints(padded, c)  # [n_padded, W] (multiple of slice_n)
         W = digits.shape[1]
         idx = (digits.T.astype(np.int32)
                + (np.arange(W, dtype=np.int32) * (1 << c))[:, None])  # [W, n]

@@ -8,8 +8,9 @@ of production sizes, the fixed dispatch+sync floor (a null kernel at the
 same shape) is measured and subtracted, and the dispatch-free rate is
 compared against an analytic op-count model and the hardware's peak
 int32/VPU throughput — the TPU analogue of the thesis's occupancy
-tables.  A compute-only row (a Pallas kernel iterating mont_mul 2048x
-in VMEM, amortizing all dispatch) anchors the true field-multiply rate.
+tables.  A compute-only row (a Pallas kernel chaining 8192 mont_mul
+iterations over a [L, 2048] VMEM block, amortizing all dispatch)
+anchors the true field-multiply rate.
 
 Run `python -m zcash_gpu_thesis_tpu.utils.profiler` to print the table
 (and write PERF.md with --write; --full adds the 2^20 MSM / 2^23 NTT
@@ -267,7 +268,15 @@ def report(full: bool = False) -> str:
             + ntt_rows(ntt_logs)
             + msm_rows(msm_logs, g2_log=17 if full else None))
     for name, t, floor, ops in rows:
-        tc = max(t - floor, 1e-9)
+        tc = t - floor
+        if tc <= 0:
+            # Noise-dominated row: the null-kernel floor exceeded the
+            # measured time, so a dispatch-free rate is undefined.
+            lines.append(
+                f"| {name} | {t*1e3:.1f} ms | {floor*1e3:.1f} ms |"
+                f" n/a (below dispatch floor) | {ops:.2e} | n/a | n/a |"
+            )
+            continue
         rate = ops / tc
         lines.append(
             f"| {name} | {t*1e3:.1f} ms | {floor*1e3:.1f} ms |"
