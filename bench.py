@@ -417,12 +417,29 @@ def main():
     c, chunks, k_inner = cfg.c, 16, 8
 
     aff = cv.g1_affine_from_ints(pts)
-    digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, c), c))
+    digits_np = M.recode_signed(M.digits_from_ints(scalars, c), c)
+    digits = jnp.asarray(digits_np)
+
+    # Hybrid host+device window split (the thesis's Chapter7 proposal):
+    # top-k windows on native host threads overlapped with the device
+    # sweep.  ZKTPU_MSM_HYBRID_WINDOWS=-1 balances from measured rates,
+    # 0 disables; default -1 on TPU when the native library is built.
+    from zcash_gpu_thesis_tpu import native as NV
+    from zcash_gpu_thesis_tpu.config import msm_hybrid_windows
+    from zcash_gpu_thesis_tpu.ops.msm_hybrid import msm_hybrid
+
+    hw = msm_hybrid_windows()
+    hybrid = (hw != 0 and cfg.impl == "pallas" and NV.available())
+    stage = NV.MsmStage(pts, g2=False) if hybrid else None
 
     def run():
         # VMEM-resident bucket kernel on TPU; XLA scan path on CPU.
         # The device-side window combine means the sync/readback is one
         # projective point, not [W] sums + a python-int ladder.
+        if hybrid:
+            return msm_hybrid(G1, "g1", pts, aff, digits_np, c, chunks,
+                              k_inner, host_windows=hw, stage=stage,
+                              digits_dev=digits)
         if cfg.impl == "pallas":
             return MP.msm_host_pallas_fused(G1, aff, digits, c, chunks,
                                             k_inner)

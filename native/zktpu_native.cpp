@@ -321,3 +321,539 @@ void zktpu_limbs_to_bytes(const int32_t* limbs, size_t n_rows, size_t n_limbs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native host Pippenger MSM (BLS12-381 G1/G2).
+//
+// The reference's CPU multiexp (bellman/src/multiexp.rs:140-232: per-window
+// bucket accumulation + suffix sums on a thread pool) is the baseline our
+// TPU kernels are scored against; this is the same algorithm as a native
+// host component, used (a) standalone as the CPU reference path and (b) as
+// the host half of the thesis's proposed hybrid window split
+// (tex/Chapters/Chapter7.tex:86): the device sweeps the low scalar windows
+// while host threads accumulate the high windows concurrently.
+//
+// Field: 6x64-bit Montgomery (CIOS with __uint128), constants from the
+// standard BLS12-381 parameterization (pairing/src/bls12_381/fq.rs:6-56 —
+// there is one correct value).  Points: Jacobian with branchy edge cases
+// (fine on a CPU; the branchless-complete constraint is a TPU-lane concern).
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+namespace msm {
+
+typedef unsigned __int128 u128;
+
+static const uint64_t Q[6] = {
+    0xb9feffffffffaaabULL, 0x1eabfffeb153ffffULL, 0x6730d2a0f6b0f624ULL,
+    0x64774b84f38512bfULL, 0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL};
+static const uint64_t QINV = 0x89f3fffcfffcfffdULL;  // -q^-1 mod 2^64
+static const uint64_t R2[6] = {
+    0xf4df1f341c341746ULL, 0x0a76e6a609d104f1ULL, 0x8de5476c4c95b6d5ULL,
+    0x67eb88a9939d83c0ULL, 0x9a793e85b519952dULL, 0x11988fe592cae3aaULL};
+
+struct Fq {
+  uint64_t l[6];
+};
+
+static inline bool fq_is_zero(const Fq& a) {
+  uint64_t acc = 0;
+  for (int i = 0; i < 6; i++) acc |= a.l[i];
+  return acc == 0;
+}
+
+static inline bool fq_eq(const Fq& a, const Fq& b) {
+  uint64_t acc = 0;
+  for (int i = 0; i < 6; i++) acc |= a.l[i] ^ b.l[i];
+  return acc == 0;
+}
+
+static inline bool fq_gte_q(const Fq& a) {
+  for (int i = 5; i >= 0; i--) {
+    if (a.l[i] > Q[i]) return true;
+    if (a.l[i] < Q[i]) return false;
+  }
+  return true;  // equal
+}
+
+static inline void fq_sub_q(Fq& a) {
+  u128 borrow = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 cur = (u128)a.l[i] - Q[i] - borrow;
+    a.l[i] = (uint64_t)cur;
+    borrow = (cur >> 64) & 1;
+  }
+}
+
+static inline void fq_add(Fq& r, const Fq& a, const Fq& b) {
+  u128 carry = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 cur = (u128)a.l[i] + b.l[i] + carry;
+    r.l[i] = (uint64_t)cur;
+    carry = cur >> 64;
+  }
+  if (fq_gte_q(r)) fq_sub_q(r);
+}
+
+static inline void fq_sub(Fq& r, const Fq& a, const Fq& b) {
+  u128 borrow = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 cur = (u128)a.l[i] - b.l[i] - borrow;
+    r.l[i] = (uint64_t)cur;
+    borrow = (cur >> 64) & 1;
+  }
+  if (borrow) {
+    u128 carry = 0;
+    for (int i = 0; i < 6; i++) {
+      u128 cur = (u128)r.l[i] + Q[i] + carry;
+      r.l[i] = (uint64_t)cur;
+      carry = cur >> 64;
+    }
+  }
+}
+
+static inline void fq_neg(Fq& r, const Fq& a) {
+  if (fq_is_zero(a)) {
+    r = a;
+    return;
+  }
+  u128 borrow = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 cur = (u128)Q[i] - a.l[i] - borrow;
+    r.l[i] = (uint64_t)cur;
+    borrow = (cur >> 64) & 1;
+  }
+}
+
+static inline void fq_dbl(Fq& r, const Fq& a) { fq_add(r, a, a); }
+
+// CIOS Montgomery multiply: r = a * b * R^-1 mod q.
+static inline void fq_mul(Fq& r, const Fq& a, const Fq& b) {
+  uint64_t t[6] = {0, 0, 0, 0, 0, 0};
+  uint64_t t6 = 0, t7 = 0;
+  for (int i = 0; i < 6; i++) {
+    u128 carry = 0;
+    for (int j = 0; j < 6; j++) {
+      u128 cur = (u128)t[j] + (u128)a.l[i] * b.l[j] + carry;
+      t[j] = (uint64_t)cur;
+      carry = cur >> 64;
+    }
+    u128 cur = (u128)t6 + carry;
+    t6 = (uint64_t)cur;
+    t7 = (uint64_t)(cur >> 64);
+    uint64_t m = t[0] * QINV;
+    carry = ((u128)t[0] + (u128)m * Q[0]) >> 64;
+    for (int j = 1; j < 6; j++) {
+      u128 cur2 = (u128)t[j] + (u128)m * Q[j] + carry;
+      t[j - 1] = (uint64_t)cur2;
+      carry = cur2 >> 64;
+    }
+    u128 cur3 = (u128)t6 + carry;
+    t[5] = (uint64_t)cur3;
+    t6 = t7 + (uint64_t)(cur3 >> 64);
+  }
+  for (int i = 0; i < 6; i++) r.l[i] = t[i];
+  if (t6 || fq_gte_q(r)) fq_sub_q(r);
+}
+
+static inline void fq_sqr(Fq& r, const Fq& a) { fq_mul(r, a, a); }
+
+static inline void fq_to_mont(Fq& r, const Fq& a) {
+  Fq rr;
+  for (int i = 0; i < 6; i++) rr.l[i] = R2[i];
+  fq_mul(r, a, rr);
+}
+
+static inline void fq_from_mont(Fq& r, const Fq& a) {
+  Fq one = {{1, 0, 0, 0, 0, 0}};
+  fq_mul(r, a, one);
+}
+
+// Fq2 = Fq[u]/(u^2+1).
+struct Fq2 {
+  Fq c0, c1;
+};
+
+static inline bool fq2_is_zero(const Fq2& a) {
+  return fq_is_zero(a.c0) && fq_is_zero(a.c1);
+}
+static inline bool fq2_eq(const Fq2& a, const Fq2& b) {
+  return fq_eq(a.c0, b.c0) && fq_eq(a.c1, b.c1);
+}
+static inline void fq2_add(Fq2& r, const Fq2& a, const Fq2& b) {
+  fq_add(r.c0, a.c0, b.c0);
+  fq_add(r.c1, a.c1, b.c1);
+}
+static inline void fq2_sub(Fq2& r, const Fq2& a, const Fq2& b) {
+  fq_sub(r.c0, a.c0, b.c0);
+  fq_sub(r.c1, a.c1, b.c1);
+}
+static inline void fq2_neg(Fq2& r, const Fq2& a) {
+  fq_neg(r.c0, a.c0);
+  fq_neg(r.c1, a.c1);
+}
+static inline void fq2_dbl(Fq2& r, const Fq2& a) { fq2_add(r, a, a); }
+
+static inline void fq2_mul(Fq2& r, const Fq2& a, const Fq2& b) {
+  // 3-mul Karatsuba with u^2 = -1
+  Fq t0, t1, t2, s1, s2;
+  fq_mul(t0, a.c0, b.c0);
+  fq_mul(t1, a.c1, b.c1);
+  fq_add(s1, a.c0, a.c1);
+  fq_add(s2, b.c0, b.c1);
+  fq_mul(t2, s1, s2);
+  fq_sub(r.c0, t0, t1);
+  fq_sub(t2, t2, t0);
+  fq_sub(r.c1, t2, t1);
+}
+static inline void fq2_sqr(Fq2& r, const Fq2& a) { fq2_mul(r, a, a); }
+
+// Jacobian point ops over a generic field F (Fq for G1, Fq2 for G2).
+template <typename F>
+struct Ops;
+
+template <>
+struct Ops<Fq> {
+  static bool is_zero(const Fq& a) { return fq_is_zero(a); }
+  static bool eq(const Fq& a, const Fq& b) { return fq_eq(a, b); }
+  static void add(Fq& r, const Fq& a, const Fq& b) { fq_add(r, a, b); }
+  static void sub(Fq& r, const Fq& a, const Fq& b) { fq_sub(r, a, b); }
+  static void neg(Fq& r, const Fq& a) { fq_neg(r, a); }
+  static void dbl(Fq& r, const Fq& a) { fq_dbl(r, a); }
+  static void mul(Fq& r, const Fq& a, const Fq& b) { fq_mul(r, a, b); }
+  static void sqr(Fq& r, const Fq& a) { fq_sqr(r, a); }
+  static void set_zero(Fq& a) { memset(a.l, 0, sizeof(a.l)); }
+};
+
+template <>
+struct Ops<Fq2> {
+  static bool is_zero(const Fq2& a) { return fq2_is_zero(a); }
+  static bool eq(const Fq2& a, const Fq2& b) { return fq2_eq(a, b); }
+  static void add(Fq2& r, const Fq2& a, const Fq2& b) { fq2_add(r, a, b); }
+  static void sub(Fq2& r, const Fq2& a, const Fq2& b) { fq2_sub(r, a, b); }
+  static void neg(Fq2& r, const Fq2& a) { fq2_neg(r, a); }
+  static void dbl(Fq2& r, const Fq2& a) { fq2_dbl(r, a); }
+  static void mul(Fq2& r, const Fq2& a, const Fq2& b) { fq2_mul(r, a, b); }
+  static void sqr(Fq2& r, const Fq2& a) { fq2_sqr(r, a); }
+  static void set_zero(Fq2& a) { memset(&a, 0, sizeof(a)); }
+};
+
+template <typename F>
+struct JPoint {
+  F x, y, z;  // Jacobian; z == 0 => infinity
+  bool is_inf() const { return Ops<F>::is_zero(z); }
+};
+
+template <typename F>
+static void set_mont_one(F& a);
+
+template <typename F>
+struct APoint {
+  F x, y;
+  bool inf;
+};
+
+// dbl-2009-l (a = 0): standard EFD Jacobian doubling.
+template <typename F>
+static void pt_double(JPoint<F>& p) {
+  typedef Ops<F> O;
+  if (p.is_inf()) return;
+  F a, b, c, d, e, f, t;
+  O::sqr(a, p.x);
+  O::sqr(b, p.y);
+  O::sqr(c, b);
+  O::add(d, p.x, b);
+  O::sqr(d, d);
+  O::sub(d, d, a);
+  O::sub(d, d, c);
+  O::dbl(d, d);
+  O::dbl(e, a);
+  O::add(e, e, a);
+  O::sqr(f, e);
+  O::mul(p.z, p.y, p.z);
+  O::dbl(p.z, p.z);
+  O::sub(p.x, f, d);
+  O::sub(p.x, p.x, d);
+  O::sub(t, d, p.x);
+  O::mul(t, t, e);
+  O::dbl(c, c);
+  O::dbl(c, c);
+  O::dbl(c, c);
+  O::sub(p.y, t, c);
+}
+
+// madd-2007-bl mixed addition (acc += affine), with edge cases.
+template <typename F>
+static void pt_add_mixed(JPoint<F>& p, const F& x2, const F& y2) {
+  typedef Ops<F> O;
+  if (p.is_inf()) {
+    p.x = x2;
+    p.y = y2;
+    set_mont_one(p.z);
+    return;
+  }
+  F z1z1, u2, s2, h, hh, i, j, r, v, t;
+  O::sqr(z1z1, p.z);
+  O::mul(u2, x2, z1z1);
+  O::mul(s2, y2, p.z);
+  O::mul(s2, s2, z1z1);
+  if (O::eq(u2, p.x)) {
+    if (O::eq(s2, p.y)) {
+      pt_double(p);
+      return;
+    }
+    if ([&] {
+          F ny;
+          O::neg(ny, p.y);
+          return O::eq(s2, ny);
+        }()) {
+      O::set_zero(p.z);
+      return;
+    }
+  }
+  O::sub(h, u2, p.x);
+  O::sqr(hh, h);
+  O::dbl(i, hh);
+  O::dbl(i, i);
+  O::mul(j, h, i);
+  O::sub(r, s2, p.y);
+  O::dbl(r, r);
+  O::mul(v, p.x, i);
+  F x3, y3, z3;
+  O::sqr(x3, r);
+  O::sub(x3, x3, j);
+  O::sub(x3, x3, v);
+  O::sub(x3, x3, v);
+  O::sub(t, v, x3);
+  O::mul(t, t, r);
+  O::mul(j, j, p.y);
+  O::dbl(j, j);
+  O::sub(y3, t, j);
+  O::add(z3, p.z, h);
+  O::sqr(z3, z3);
+  O::sub(z3, z3, z1z1);
+  O::sub(z3, z3, hh);
+  p.x = x3;
+  p.y = y3;
+  p.z = z3;
+}
+
+// add-2007-bl full Jacobian addition (for suffix sums), with edge cases.
+template <typename F>
+static void pt_add(JPoint<F>& p, const JPoint<F>& q) {
+  typedef Ops<F> O;
+  if (q.is_inf()) return;
+  if (p.is_inf()) {
+    p = q;
+    return;
+  }
+  F z1z1, z2z2, u1, u2, s1, s2, h, i, j, r, v, t;
+  O::sqr(z1z1, p.z);
+  O::sqr(z2z2, q.z);
+  O::mul(u1, p.x, z2z2);
+  O::mul(u2, q.x, z1z1);
+  O::mul(s1, p.y, q.z);
+  O::mul(s1, s1, z2z2);
+  O::mul(s2, q.y, p.z);
+  O::mul(s2, s2, z1z1);
+  if (O::eq(u1, u2)) {
+    if (O::eq(s1, s2)) {
+      pt_double(p);
+      return;
+    }
+    O::set_zero(p.z);
+    return;
+  }
+  O::sub(h, u2, u1);
+  O::dbl(i, h);
+  O::sqr(i, i);
+  O::mul(j, h, i);
+  O::sub(r, s2, s1);
+  O::dbl(r, r);
+  O::mul(v, u1, i);
+  F x3, y3, z3;
+  O::sqr(x3, r);
+  O::sub(x3, x3, j);
+  O::sub(x3, x3, v);
+  O::sub(x3, x3, v);
+  O::sub(t, v, x3);
+  O::mul(t, t, r);
+  O::mul(j, j, s1);
+  O::dbl(j, j);
+  O::sub(y3, t, j);
+  O::add(z3, p.z, q.z);
+  O::sqr(z3, z3);
+  O::sub(z3, z3, z1z1);
+  O::sub(z3, z3, z2z2);
+  O::mul(z3, z3, h);
+  p.x = x3;
+  p.y = y3;
+  p.z = z3;
+}
+
+static const Fq FQ_MONT_ONE = [] {
+  Fq one = {{1, 0, 0, 0, 0, 0}};
+  Fq r;
+  fq_to_mont(r, one);
+  return r;
+}();
+
+template <typename F>
+static void set_mont_one(F& a);
+template <>
+void set_mont_one<Fq>(Fq& a) {
+  a = FQ_MONT_ONE;
+}
+template <>
+void set_mont_one<Fq2>(Fq2& a) {
+  a.c0 = FQ_MONT_ONE;
+  memset(&a.c1, 0, sizeof(a.c1));
+}
+
+template <typename F>
+struct Staged {
+  std::vector<APoint<F>> pts;
+};
+
+// Per-thread window job: bucket-accumulate windows [w_lo, w_hi) of the
+// signed-digit matrix and write each window's suffix-summed total.
+template <typename F>
+static void window_job(const Staged<F>* st, const int8_t* digits, size_t n,
+                       size_t w_count, int c, size_t w_lo, size_t w_hi,
+                       size_t stride, JPoint<F>* out) {
+  size_t nb = (size_t)1 << (c - 1);
+  std::vector<JPoint<F>> buckets(nb);
+  for (size_t w = w_lo; w < w_hi; w += stride) {
+    for (auto& b : buckets) Ops<F>::set_zero(b.z);
+    for (size_t i = 0; i < n; i++) {
+      int d = digits[i * w_count + w];
+      if (d == 0 || st->pts[i].inf) continue;
+      const APoint<F>& p = st->pts[i];
+      JPoint<F>& b = buckets[(d < 0 ? -d : d) - 1];
+      if (d < 0) {
+        F ny;
+        Ops<F>::neg(ny, p.y);
+        pt_add_mixed(b, p.x, ny);
+      } else {
+        pt_add_mixed(b, p.x, p.y);
+      }
+    }
+    // suffix sums: sum_b b * bucket_b via running + total
+    JPoint<F> running, total;
+    Ops<F>::set_zero(running.z);
+    Ops<F>::set_zero(total.z);
+    for (size_t bi = nb; bi > 0; bi--) {
+      pt_add(running, buckets[bi - 1]);
+      pt_add(total, running);
+    }
+    out[w] = total;
+  }
+}
+
+template <typename F>
+static void msm_window_sums(const Staged<F>* st, const int8_t* digits,
+                            size_t n, size_t w_count, int lo_w, int hi_w,
+                            int c, int n_threads, JPoint<F>* out) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> ths;
+  for (int t = 0; t < n_threads; t++) {
+    ths.emplace_back(window_job<F>, st, digits, n, w_count, c,
+                     (size_t)lo_w + t, (size_t)hi_w, (size_t)n_threads, out);
+  }
+  for (auto& th : ths) th.join();
+}
+
+}  // namespace msm
+
+extern "C" {
+
+// Stage G1 affine points (canonical-form u64 limbs, little-endian) into
+// Montgomery form.  xs/ys: [n, 6] u64; inf: [n] u8.
+void* zktpu_msm_stage_g1(const uint64_t* xs, const uint64_t* ys,
+                         const uint8_t* inf, size_t n) {
+  auto* st = new msm::Staged<msm::Fq>();
+  st->pts.resize(n);
+  for (size_t i = 0; i < n; i++) {
+    msm::Fq x, y;
+    memcpy(x.l, xs + 6 * i, 48);
+    memcpy(y.l, ys + 6 * i, 48);
+    msm::fq_to_mont(st->pts[i].x, x);
+    msm::fq_to_mont(st->pts[i].y, y);
+    st->pts[i].inf = inf[i] != 0;
+  }
+  return st;
+}
+
+// Stage G2 affine points: xs/ys are [n, 12] u64 (c0 limbs then c1 limbs).
+void* zktpu_msm_stage_g2(const uint64_t* xs, const uint64_t* ys,
+                         const uint8_t* inf, size_t n) {
+  auto* st = new msm::Staged<msm::Fq2>();
+  st->pts.resize(n);
+  for (size_t i = 0; i < n; i++) {
+    msm::Fq t;
+    memcpy(t.l, xs + 12 * i, 48);
+    msm::fq_to_mont(st->pts[i].x.c0, t);
+    memcpy(t.l, xs + 12 * i + 6, 48);
+    msm::fq_to_mont(st->pts[i].x.c1, t);
+    memcpy(t.l, ys + 12 * i, 48);
+    msm::fq_to_mont(st->pts[i].y.c0, t);
+    memcpy(t.l, ys + 12 * i + 6, 48);
+    msm::fq_to_mont(st->pts[i].y.c1, t);
+    st->pts[i].inf = inf[i] != 0;
+  }
+  return st;
+}
+
+void zktpu_msm_free_g1(void* st) { delete (msm::Staged<msm::Fq>*)st; }
+void zktpu_msm_free_g2(void* st) { delete (msm::Staged<msm::Fq2>*)st; }
+
+// Window sums for windows [lo_w, hi_w) of a SIGNED digit matrix
+// [n, w_count] (int8, |d| <= 2^(c-1)).  out: [w_count, 3, 6] u64 Jacobian
+// coords in CANONICAL form (only rows lo_w..hi_w-1 written; z == 0 means
+// infinity).
+void zktpu_msm_g1_window_sums(void* stp, const int8_t* digits, size_t n,
+                              size_t w_count, int lo_w, int hi_w, int c,
+                              int n_threads, uint64_t* out) {
+  auto* st = (msm::Staged<msm::Fq>*)stp;
+  std::vector<msm::JPoint<msm::Fq>> sums(w_count);
+  msm::msm_window_sums(st, digits, n, w_count, lo_w, hi_w, c, n_threads,
+                       sums.data());
+  for (int w = lo_w; w < hi_w; w++) {
+    msm::Fq x, y, z;
+    msm::fq_from_mont(x, sums[w].x);
+    msm::fq_from_mont(y, sums[w].y);
+    msm::fq_from_mont(z, sums[w].z);
+    memcpy(out + 18 * w, x.l, 48);
+    memcpy(out + 18 * w + 6, y.l, 48);
+    memcpy(out + 18 * w + 12, z.l, 48);
+  }
+}
+
+// Same for G2; out rows are [3, 12] u64 (c0 then c1 per coordinate).
+void zktpu_msm_g2_window_sums(void* stp, const int8_t* digits, size_t n,
+                              size_t w_count, int lo_w, int hi_w, int c,
+                              int n_threads, uint64_t* out) {
+  auto* st = (msm::Staged<msm::Fq2>*)stp;
+  std::vector<msm::JPoint<msm::Fq2>> sums(w_count);
+  msm::msm_window_sums(st, digits, n, w_count, lo_w, hi_w, c, n_threads,
+                       sums.data());
+  for (int w = lo_w; w < hi_w; w++) {
+    msm::Fq t;
+    uint64_t* row = out + 36 * w;
+    msm::fq_from_mont(t, sums[w].x.c0);
+    memcpy(row, t.l, 48);
+    msm::fq_from_mont(t, sums[w].x.c1);
+    memcpy(row + 6, t.l, 48);
+    msm::fq_from_mont(t, sums[w].y.c0);
+    memcpy(row + 12, t.l, 48);
+    msm::fq_from_mont(t, sums[w].y.c1);
+    memcpy(row + 18, t.l, 48);
+    msm::fq_from_mont(t, sums[w].z.c0);
+    memcpy(row + 24, t.l, 48);
+    msm::fq_from_mont(t, sums[w].z.c1);
+    memcpy(row + 30, t.l, 48);
+  }
+}
+
+}  // extern "C"

@@ -100,10 +100,17 @@ def g2_pallas_params() -> tuple:
 def msm_hybrid_windows() -> int:
     """Top windows accumulated on the host, overlapped with the device
     sweep (ZKTPU_MSM_HYBRID_WINDOWS; the thesis's proposed CPU+GPU
-    window split, Chapter7.tex:86).  Default 0 = all-device: on v5e the
-    host python-int bucket update is ~10^3x slower than the VMEM
-    kernel's, so any host share loses (see ops/msm_hybrid.py)."""
-    return int(os.environ.get("ZKTPU_MSM_HYBRID_WINDOWS", "0"))
+    window split, Chapter7.tex:86).  -1 = balance the split from the
+    measured host/device per-window rates (ops/msm_hybrid.py); 0 = all
+    device.  Default: -1 on TPU when the native host bucket worker is
+    built (native/zktpu_native.cpp), else 0 — the python-int fallback
+    host path is ~10^3x slower than the VMEM kernel and always loses."""
+    v = os.environ.get("ZKTPU_MSM_HYBRID_WINDOWS")
+    if v is not None:
+        return int(v)
+    from . import native as NV
+
+    return -1 if (_backend() != "cpu" and NV.available()) else 0
 
 
 def g2_c() -> int:

@@ -544,7 +544,9 @@ class BlsEngine:
         from_ints = (cv.g1_affine_from_ints if group_name == "g1"
                      else cv.g2_affine_from_ints)
         group = cv.G1 if group_name == "g1" else cv.G2
-        if len(bases) >= self._cache_threshold:
+        orig_bases = bases  # stage-cache key (compaction rebinds `bases`)
+        big_crs = len(bases) >= self._cache_threshold
+        if big_crs:
             # big CRS vector: reuse the cached device arrays; density is
             # handled by the digit-0 bucket skip alone.  G2 pads up to one
             # canonical size so every proof shares a single compiled
@@ -572,7 +574,8 @@ class BlsEngine:
             bases, scalars = self._compact_pad(bases, scalars)
             aff = from_ints(bases)
         c = self._c_for(group_name)
-        digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, c), c))
+        digits_np = M.recode_signed(M.digits_from_ints(scalars, c), c)
+        digits = jnp.asarray(digits_np)
         from ..config import g2_msm_impl, g2_pallas_params
 
         impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
@@ -583,11 +586,19 @@ class BlsEngine:
             ck = (16, 8) if group_name == "g1" else g2_pallas_params()
             sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
             hw = msm_hybrid_windows()
-            if hw > 0:
+            # hybrid only for cached CRS vectors: the compacted+padded
+            # base list is deterministic per CRS vector there, so the
+            # native stage (a ~0.6 s Montgomery conversion) caches keyed
+            # by the original list; per-call staging would eat the win
+            if hw != 0 and big_crs:
                 from ..ops.msm_hybrid import msm_hybrid
 
-                return msm_hybrid(group, group_name, bases, aff, digits,
-                                  c, *ck, host_windows=hw, slice_n=sl)
+                return msm_hybrid(group, group_name, bases, aff, digits_np,
+                                  c, *ck, host_windows=hw, slice_n=sl,
+                                  stage=self._hybrid_stage(group_name,
+                                                           orig_bases,
+                                                           bases),
+                                  digits_dev=digits)
             return MP.msm_host_pallas_fused(group, aff, digits, c, *ck,
                                             slice_n=sl)
         if group_name == "g2" and msm_config().impl == "pallas":
@@ -595,6 +606,26 @@ class BlsEngine:
             return M.msm_host(group, aff, digits, c, 128, 8, signed=True)
         return M.msm_host(group, aff, digits, c, self.msm_chunks,
                           self.msm_k_inner, signed=True)
+
+    # native host-worker stages for the hybrid window split, cached like
+    # the device-form base cache (staging = one-time Montgomery convert)
+    _stage_cache: dict = {}
+
+    def _hybrid_stage(self, group_name, orig_bases, padded_bases):
+        """Stage `padded_bases` (the compacted+padded row order the digit
+        array uses), cached by the identity of the original CRS vector —
+        the compaction is deterministic given that vector."""
+        from ..ops.msm_hybrid import make_stage
+
+        key = (id(orig_bases), group_name, len(padded_bases))
+        hit = BlsEngine._stage_cache.get(key)
+        if hit is not None and hit[0] is orig_bases:
+            return hit[1]
+        stage = make_stage(padded_bases, group_name)
+        if len(BlsEngine._stage_cache) > 16:
+            BlsEngine._stage_cache.pop(next(iter(BlsEngine._stage_cache)))
+        BlsEngine._stage_cache[key] = (orig_bases, stage)
+        return stage
 
     def msm_g1(self, bases, scalars):
         return self._msm("g1", bases, scalars)

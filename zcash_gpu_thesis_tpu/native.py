@@ -45,6 +45,20 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        for g in ("g1", "g2"):
+            stage = getattr(l, f"zktpu_msm_stage_{g}")
+            stage.restype = ctypes.c_void_p
+            stage.argtypes = [u64p, u64p, u8p, ctypes.c_size_t]
+            getattr(l, f"zktpu_msm_free_{g}").argtypes = [ctypes.c_void_p]
+            ws = getattr(l, f"zktpu_msm_{g}_window_sums")
+            ws.argtypes = [
+                ctypes.c_void_p, i8p, ctypes.c_size_t, ctypes.c_size_t,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                u64p,
+            ]
         _lib = l
     return _lib
 
@@ -104,6 +118,116 @@ def bytes_to_limbs(rows: bytes, n_rows: int, row_bytes: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_limbs,
     )
     return out
+
+
+def _u64_rows(vals, width: int) -> np.ndarray:
+    """python ints -> [n, width] u64 little-endian limb rows."""
+    out = np.zeros((len(vals), width), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        v = int(v)
+        for k in range(width):
+            out[i, k] = (v >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def _row_int(row) -> int:
+    v = 0
+    for k in range(len(row) - 1, -1, -1):
+        v = (v << 64) | int(row[k])
+    return v
+
+
+class MsmStage:
+    """Staged affine points for the native host Pippenger (the reference's
+    CPU multiexp path, bellman/src/multiexp.rs:140-232, as a native
+    component; also the host half of the Chapter7 hybrid window split).
+
+    ``points``: python-int affine points ((x, y) ints for G1, pairs of
+    int-tuples for G2; None = infinity)."""
+
+    def __init__(self, points, g2: bool = False):
+        import ctypes as ct
+
+        l = lib()
+        assert l is not None, "native library not built (make -C native)"
+        self.g2 = g2
+        self.n = len(points)
+        w = 12 if g2 else 6
+        xs = np.zeros((self.n, w), dtype=np.uint64)
+        ys = np.zeros((self.n, w), dtype=np.uint64)
+        inf = np.zeros(self.n, dtype=np.uint8)
+        for i, p in enumerate(points):
+            if p is None:
+                inf[i] = 1
+                continue
+            x, y = p
+            if g2:
+                xs[i, :6] = _u64_rows([x[0]], 6)[0]
+                xs[i, 6:] = _u64_rows([x[1]], 6)[0]
+                ys[i, :6] = _u64_rows([y[0]], 6)[0]
+                ys[i, 6:] = _u64_rows([y[1]], 6)[0]
+            else:
+                xs[i] = _u64_rows([x], 6)[0]
+                ys[i] = _u64_rows([y], 6)[0]
+        g = "g2" if g2 else "g1"
+        self._free = getattr(l, f"zktpu_msm_free_{g}")
+        self._ws = getattr(l, f"zktpu_msm_{g}_window_sums")
+        self._h = getattr(l, f"zktpu_msm_stage_{g}")(
+            xs.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            ys.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            inf.ctypes.data_as(ct.POINTER(ct.c_uint8)), self.n)
+
+    def window_sums(self, digits: np.ndarray, lo_w: int, hi_w: int, c: int,
+                    n_threads: int = 0):
+        """Signed digit matrix [n, W] (int8) -> list of python-int affine
+        window sums for windows lo_w..hi_w-1 (None = infinity)."""
+        import ctypes as ct
+        import os as _os
+
+        from .constants import Q, modinv
+
+        if n_threads <= 0:
+            n_threads = _os.cpu_count() or 1
+        digits = np.ascontiguousarray(digits, dtype=np.int8)
+        n, w_count = digits.shape
+        assert n == self.n
+        coords = 6 if self.g2 else 3
+        out = np.zeros((w_count, coords * 6), dtype=np.uint64)
+        self._ws(self._h,
+                 digits.ctypes.data_as(ct.POINTER(ct.c_int8)),
+                 n, w_count, lo_w, hi_w, c, n_threads,
+                 out.ctypes.data_as(ct.POINTER(ct.c_uint64)))
+        sums = []
+        for w in range(lo_w, hi_w):
+            row = out[w]
+            if self.g2:
+                x = (_row_int(row[0:6]), _row_int(row[6:12]))
+                y = (_row_int(row[12:18]), _row_int(row[18:24]))
+                z = (_row_int(row[24:30]), _row_int(row[30:36]))
+                if z == (0, 0):
+                    sums.append(None)
+                    continue
+                from .oracle import curve as O
+
+                zi = O.f2_inv(z)
+                zi2 = O.f2_mul(zi, zi)
+                zi3 = O.f2_mul(zi2, zi)
+                sums.append((O.f2_mul(x, zi2), O.f2_mul(y, zi3)))
+            else:
+                x, y = _row_int(row[0:6]), _row_int(row[6:12])
+                z = _row_int(row[12:18])
+                if z == 0:
+                    sums.append(None)
+                    continue
+                zi = modinv(z, Q)
+                zi2 = zi * zi % Q
+                sums.append((x * zi2 % Q, y * zi2 % Q * zi % Q))
+        return sums
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._free(self._h)
+            self._h = None
 
 
 def limbs_to_bytes(limbs: np.ndarray, row_bytes: int) -> bytes:

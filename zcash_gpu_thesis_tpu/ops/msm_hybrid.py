@@ -3,19 +3,26 @@ r"""Hybrid host+device window-split MSM.
 Re-design of the thesis's proposed CPU+GPU hybrid (tex/Chapters/
 Chapter7.tex:86; the `affine_mulexp_smart_lower_half/_lower_quarter`
 kernels, bellman/src/bls12-381.cl:2496-2553): the device sweeps the LOW
-scalar windows while a host thread concurrently accumulates the HIGH
+scalar windows while host threads concurrently accumulate the HIGH
 windows, and the two partial sums combine with one scaled addition:
 
     total = sum_{w < s} 2^(cw) S_w  +  2^(cs) * sum_{w >= s} 2^(c(w-s)) S_w
             \------ device ------/     \----------- host -----------/
 
-The thesis measured 25-30% end-to-end gain from this split because its
-two resources had comparable EC throughput (4-core i7 vs RX 580).  On a
-TPU v5e the host python-int bucket update is ~10^3x slower than the VMEM
-kernel's, so the optimal split is zero host windows and the hybrid is
-OFF by default — the capability is kept for component parity and for
-deployments that pair the chip with a fast native host EC library.
-Enable with ZKTPU_MSM_HYBRID_WINDOWS=<k> (top k windows on host).
+The host half is the NATIVE Pippenger bucket accumulator
+(native/zktpu_native.cpp, ctypes via native.MsmStage) — the same
+algorithm as the reference's CPU multiexp (multiexp.rs:140-232) with
+6x64-bit CIOS Montgomery arithmetic and a window-per-thread pool.
+Measured on this 4-core host at 131k points: ~36 ms/window wall vs the
+VMEM kernel's ~5 ms/window, so the balanced split is ~5 host windows
+(~10-15% off the device sweep; the thesis saw 25-30% because its CPU and
+GPU had comparable EC throughput).
+
+Staging points into the native side costs ~0.6 s per 131k (Montgomery
+conversion), so callers cache the `native.MsmStage` next to their
+device-form bases (engine CRS cache / bench setup) and pass it in.
+Enable with ZKTPU_MSM_HYBRID_WINDOWS=<k> (top k windows on host) or
+k=-1 for the measured-balance default.
 """
 
 from __future__ import annotations
@@ -24,9 +31,40 @@ import threading
 
 import jax.numpy as jnp
 
+# measured per-window wall times on the scored config (v5e + 4-core host),
+# used by auto_host_windows to balance the split; linear in n on both
+# sides, so the ratio is size-independent.  g1 host includes the ~20%
+# contention with the device-dispatch python thread (sweep: k=4 beat
+# k=5/6 at 131k — 0.213 s vs 0.219 / 0.319)
+_HOST_MS_PER_WINDOW_131K = {"g1": 45.0, "g2": 150.0}
+_DEV_MS_PER_WINDOW_131K = {"g1": 5.0, "g2": 20.0}
 
-def _host_window_sums(group_name, bases, digits_np, c, lo_w):
-    """sum_{w >= lo_w} 2^(c(w-lo_w)) S_w with python-int buckets."""
+
+def auto_host_windows(group_name: str, w_count: int) -> int:
+    """Balanced top-window count: k such that host k windows finish with
+    the device's (W - k)."""
+    h = _HOST_MS_PER_WINDOW_131K[group_name]
+    d = _DEV_MS_PER_WINDOW_131K[group_name]
+    return max(1, round(w_count * d / (d + h)))
+
+
+def _host_window_sums_native(stage, digits_np, c, lo_w):
+    """sum_{w >= lo_w} 2^(c(w-lo_w)) S_w via the native bucket worker."""
+    from ..oracle import curve as O
+
+    sums = stage.window_sums(digits_np, lo_w, digits_np.shape[1], c)
+    add = O.g2_add if stage.g2 else O.g1_add
+    total = None
+    for wsum in reversed(sums):
+        for _ in range(c):
+            total = add(total, total)
+        total = add(total, wsum)
+    return total
+
+
+def _host_window_sums_py(group_name, bases, digits_np, c, lo_w):
+    """Python-int fallback (no native library): same result, slow — kept
+    so the capability is exercisable in pure-python environments."""
     from ..oracle import curve as O
 
     add = O.g2_add if group_name == "g2" else O.g1_add
@@ -56,37 +94,63 @@ def _host_window_sums(group_name, bases, digits_np, c, lo_w):
     return total
 
 
+def make_stage(bases, group_name: str):
+    """Stage python-int affine bases for the native host worker (cache me
+    next to the device-form bases).  Returns None without the library."""
+    from .. import native as NV
+
+    if not NV.available():
+        return None
+    return NV.MsmStage(bases, g2=group_name == "g2")
+
+
 def msm_hybrid(group, group_name, bases, aff, digits, c, chunks, k_inner,
-               host_windows, slice_n=1 << 20):
-    """Full MSM with the top `host_windows` windows on the host thread,
+               host_windows, slice_n=1 << 20, stage=None, digits_dev=None):
+    """Full MSM with the top `host_windows` windows on host threads,
     overlapped with the device bucket sweep of the low windows.
 
-    `bases`: python-int points (host side); `aff`: device affine pytree;
-    `digits`: SIGNED [n, W] (host numpy or device).  Returns python-int
-    affine."""
+    `bases`: python-int points (host side; only used to build `stage`
+    when one isn't passed, or by the python fallback); `aff`: device
+    affine pytree; `digits`: SIGNED [n, W] host numpy; `digits_dev`: the
+    same plane already device-resident (pass it when you have it — the
+    device's low-window slice is then an on-device slice instead of a
+    fresh ~5 MB host upload per call, which costs ~100 ms on the tunnel
+    and erases the hybrid's win).  Returns python-int affine."""
     import numpy as np
 
+    from .. import native as NV
     from ..oracle import curve as O
     from . import msm_pallas as MP
 
     digits_np = np.asarray(digits)
     w_count = digits_np.shape[1]
+    if host_windows < 0:
+        host_windows = auto_host_windows(group_name, w_count)
     host_windows = max(0, min(host_windows, w_count - 1))
     lo_w = w_count - host_windows
+    if digits_dev is None:
+        digits_dev = jnp.asarray(digits_np)
     if host_windows == 0:
-        return MP.msm_host_pallas_fused(group, aff, jnp.asarray(digits_np),
+        return MP.msm_host_pallas_fused(group, aff, digits_dev,
                                         c, chunks, k_inner, slice_n=slice_n)
+
+    if stage is None and NV.available():
+        stage = make_stage(bases, group_name)
 
     result = {}
 
     def host_part():
-        result["host"] = _host_window_sums(group_name, bases, digits_np,
-                                           c, lo_w)
+        if stage is not None:
+            result["host"] = _host_window_sums_native(stage, digits_np, c,
+                                                      lo_w)
+        else:
+            result["host"] = _host_window_sums_py(group_name, bases,
+                                                  digits_np, c, lo_w)
 
     th = threading.Thread(target=host_part)
     th.start()
     dev = MP.msm_host_pallas_fused(
-        group, aff, jnp.asarray(np.ascontiguousarray(digits_np[:, :lo_w])),
+        group, aff, digits_dev[:, :lo_w],
         c, chunks, k_inner, slice_n=slice_n)
     th.join()
 
