@@ -856,4 +856,60 @@ void zktpu_msm_g2_window_sums(void* stp, const int8_t* digits, size_t n,
   }
 }
 
+
+// Single scalar multiplication (the prover's blinding algebra: s*g_a,
+// r*g_b1 and the delta muls, prover.rs:326-354 — a handful per proof, so
+// the python-int wNAF path's ~120 us-per-add modinv arithmetic cost
+// ~0.24 s/proof; this double-and-add runs in ~0.3 ms).  Inputs canonical
+// affine + 4x64-bit scalar; output canonical Jacobian (z=0 => infinity).
+void zktpu_g1_mul(const uint64_t* x, const uint64_t* y, const uint64_t* k,
+                  uint64_t* out) {
+  msm::Fq ax, ay;
+  memcpy(ax.l, x, 48);
+  memcpy(ay.l, y, 48);
+  msm::APoint<msm::Fq> p;
+  msm::fq_to_mont(p.x, ax);
+  msm::fq_to_mont(p.y, ay);
+  msm::JPoint<msm::Fq> acc;
+  msm::Ops<msm::Fq>::set_zero(acc.z);
+  for (int bit = 255; bit >= 0; bit--) {
+    msm::pt_double(acc);
+    if ((k[bit / 64] >> (bit % 64)) & 1) msm::pt_add_mixed(acc, p.x, p.y);
+  }
+  msm::Fq cx, cy, cz;
+  msm::fq_from_mont(cx, acc.x);
+  msm::fq_from_mont(cy, acc.y);
+  msm::fq_from_mont(cz, acc.z);
+  memcpy(out, cx.l, 48);
+  memcpy(out + 6, cy.l, 48);
+  memcpy(out + 12, cz.l, 48);
+}
+
+void zktpu_g2_mul(const uint64_t* x, const uint64_t* y, const uint64_t* k,
+                  uint64_t* out) {
+  msm::Fq t;
+  msm::APoint<msm::Fq2> p;
+  memcpy(t.l, x, 48);
+  msm::fq_to_mont(p.x.c0, t);
+  memcpy(t.l, x + 6, 48);
+  msm::fq_to_mont(p.x.c1, t);
+  memcpy(t.l, y, 48);
+  msm::fq_to_mont(p.y.c0, t);
+  memcpy(t.l, y + 6, 48);
+  msm::fq_to_mont(p.y.c1, t);
+  msm::JPoint<msm::Fq2> acc;
+  msm::Ops<msm::Fq2>::set_zero(acc.z);
+  for (int bit = 255; bit >= 0; bit--) {
+    msm::pt_double(acc);
+    if ((k[bit / 64] >> (bit % 64)) & 1) msm::pt_add_mixed(acc, p.x, p.y);
+  }
+  const msm::Fq2* cs[3] = {&acc.x, &acc.y, &acc.z};
+  for (int i = 0; i < 3; i++) {
+    msm::fq_from_mont(t, cs[i]->c0);
+    memcpy(out + 12 * i, t.l, 48);
+    msm::fq_from_mont(t, cs[i]->c1);
+    memcpy(out + 12 * i + 6, t.l, 48);
+  }
+}
+
 }  // extern "C"

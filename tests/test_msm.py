@@ -107,6 +107,25 @@ def test_digit_decomposition():
         assert (dev == host).all(), c
 
 
+def test_digits_from_limbs_np_matches_device():
+    """The hybrid split rebuilds the digit plane on host from the same
+    int16 limb array the prover uploads — it must be bit-identical to
+    the device decomposition + recode (engine._make_digits_impl)."""
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.ops import field as F
+
+    rng = random.Random(9)
+    xs = [rng.randrange(R) for _ in range(33)] + [0, 1, R - 1]
+    limbs_np = F.batch_to_limbs(F.FR, xs, mont=False).astype(np.int16)
+    limbs = jnp.asarray(limbs_np).astype(jnp.int32)
+    for c in (4, 6, 7):
+        dev = np.asarray(
+            M.recode_signed_dev(M.digits_from_canonical(limbs, c), c))
+        host = M.recode_signed(M.digits_from_limbs_np(limbs_np, c), c)
+        assert (dev == host).all(), c
+
+
 def test_g1_msm_signed_digits(g1pts):
     """Signed-digit recoding (half the buckets) matches the oracle."""
     import jax.numpy as jnp

@@ -116,9 +116,10 @@ def msm_hybrid_windows() -> int:
 def g2_c() -> int:
     """G2 window bit width (ZKTPU_G2_C).  Separate from the G1 width:
     the Fq2 madd is ~3x the element work per lane, so the select/madd
-    crossover sits at a different c.  c=6 measured 334 ms vs 438 ms at
-    c=4 for the 2^16 G2 MSM on v5e (-24%)."""
-    return int(os.environ.get("ZKTPU_G2_C", "6"))
+    crossover sits at a different c.  Sweep on v5e, 2^16 G2 MSM:
+    c=7 334 ms < c=6 346 ms < c=4 438 ms; c=8 OOMs VMEM (the 128-bucket
+    state needs 148 MB of the 128 MB VMEM at chunks=16)."""
+    return int(os.environ.get("ZKTPU_G2_C", "7"))
 
 
 def mesh_devices() -> int:

@@ -222,12 +222,18 @@ class BlsEngine:
         return ocurve.g1_add(a, b)
 
     def g1_mul(self, a, k):
-        """Host single-point mul via wNAF w=5 (wnaf.rs wnaf_exp): ~300
-        EC ops vs ~382 for plain double-and-add — the blinding algebra's
-        variable-base muls (s*g_a, r*g_b1) are on the warm-proof path."""
+        """Host single-point mul: the native C++ double-and-add when the
+        library is built (~0.3 ms), else wNAF w=5 over python ints
+        (wnaf.rs wnaf_exp; ~300 EC ops at ~120 us each).  The blinding
+        algebra's variable-base muls (s*g_a, r*g_b1) are on the
+        warm-proof path (prover.rs:326-354)."""
         k = k % FR_MOD
         if a is None or k == 0:
             return None
+        from .. import native as NV
+
+        if NV.available():
+            return NV.g1_mul(a, k)
         from ..utils.wnaf import wnaf_exp
 
         return wnaf_exp(ocurve.g1_add, self.g1_neg, None, a, k, window=5)
@@ -274,9 +280,19 @@ class BlsEngine:
         return acc
 
     def g1_mul_fixed(self, base, k):
+        from .. import native as NV
+
+        if NV.available():  # native mul beats the host comb walk too
+            return NV.g1_mul(base, int(k) % FR_MOD) if base is not None \
+                else None
         return self._host_fixed_mul(ocurve.g1_add, "g1", base, k)
 
     def g2_mul_fixed(self, base, k):
+        from .. import native as NV
+
+        if NV.available():
+            return NV.g2_mul(base, int(k) % FR_MOD) if base is not None \
+                else None
         return self._host_fixed_mul(ocurve.g2_add, "g2", base, k)
 
     def g1_neg(self, a):
@@ -286,6 +302,10 @@ class BlsEngine:
         return ocurve.g2_add(a, b)
 
     def g2_mul(self, a, k):
+        from .. import native as NV
+
+        if NV.available():
+            return NV.g2_mul(a, k % FR_MOD)
         return ocurve.g2_mul(a, k % FR_MOD)
 
     def g2_neg(self, a):
@@ -363,8 +383,11 @@ class BlsEngine:
                 use = [bases[i] for i in nz]
                 n_pad = n_pad_c
                 nz_idx = jnp.asarray(nz, dtype=jnp.int32)
-        aff = from_ints(use + [None] * (n_pad - len(use)))
-        BlsEngine._base_cache[key] = (bases, aff, n_pad, nz_idx)
+        use_padded = use + [None] * (n_pad - len(use))
+        aff = from_ints(use_padded)
+        # use_padded is kept for the hybrid window split's host stage
+        # (row order must match the device digit plane)
+        BlsEngine._base_cache[key] = (bases, aff, n_pad, nz_idx, use_padded)
         return aff, n_pad, nz_idx
 
     @classmethod
@@ -484,14 +507,20 @@ class BlsEngine:
         return M.msm_host(group, aff, digits, c, self.msm_chunks,
                           self.msm_k_inner, signed=True)
 
-    def _msm_dev_async(self, group_name, bases, scal_dev):
+    def _msm_dev_async(self, group_name, bases, scal_dev, host_limbs=None):
         """Dispatch-only MSM: same path as ``_msm_dev`` but the pallas
         result stays a device projective point; returns a zero-arg
         resolver producing the python-int affine.  The prover dispatches
         all five MSMs and resolves after, so the device pipelines the
         bucket sweeps instead of blocking on one readback per MSM
         (the reference enqueues its 8 MSM futures before any .wait(),
-        prover.rs:289-353)."""
+        prover.rs:289-353).
+
+        ``host_limbs``: the same scalars as a host [n, 24] 12-bit limb
+        array (the prover has it — it built the upload).  When given and
+        the hybrid split is on, the top windows run on native host
+        threads concurrently with the device sweep of the rest
+        (Chapter7.tex:86)."""
         from ..config import g2_msm_impl, mesh_devices, msm_config
 
         impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
@@ -510,14 +539,81 @@ class BlsEngine:
         floor = g2_pad_floor() if group_name == "g2" else 1
         quantum = 128 if group_name == "g1" else 0
         c = self._c_for(group_name)
+        compact = scal_dev.shape[0] >= len(bases)
         aff, n_pad, nz_idx = self._cached_affine(
-            bases, from_ints, floor,
-            compact=scal_dev.shape[0] >= len(bases), quantum=quantum)
+            bases, from_ints, floor, compact=compact, quantum=quantum)
         assert nz_idx is not None or scal_dev.shape[0] <= n_pad, (
             scal_dev.shape, n_pad)
         digits = self._digits_for(scal_dev, n_pad, c, nz_idx=nz_idx)
         ck = (16, 8) if group_name == "g1" else g2_pallas_params()
         sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+
+        hw = 0
+        if host_limbs is not None:
+            from .. import native as NV
+            from ..config import msm_hybrid_windows
+
+            if NV.available():
+                hw = msm_hybrid_windows()
+        if hw != 0:
+            import threading
+
+            import numpy as np
+
+            from ..ops import msm as M2
+            from ..ops.msm_hybrid import auto_host_windows
+            from ..oracle import curve as O2
+
+            w_count = digits.shape[1]
+            k = auto_host_windows(group_name, w_count) if hw < 0 else hw
+            k = max(1, min(k, w_count - 1))
+            lo_w = w_count - k
+            # device: low windows only (on-device digit slice)
+            packed = MP.msm_device_proj(group, aff, digits[:, :lo_w], c,
+                                        *ck, slice_n=sl)
+            # host: top-k windows via the native bucket worker, digit
+            # plane rebuilt bit-identically from the host limb array
+            # (gathered by the same compaction index, padded the same)
+            key = (id(bases), from_ints.__name__, compact, quantum)
+            stage = self._hybrid_stage(
+                group_name, bases, BlsEngine._base_cache[key][4])
+
+            result = {}
+
+            def host_part():
+                limbs = np.asarray(host_limbs)
+                if nz_idx is not None:
+                    limbs = limbs[np.asarray(nz_idx)]
+                limbs = limbs[:n_pad]
+                if limbs.shape[0] < n_pad:
+                    limbs = np.pad(
+                        limbs, ((0, n_pad - limbs.shape[0]), (0, 0)))
+                dg = M2.recode_signed(
+                    M2.digits_from_limbs_np(limbs, c), c).astype(np.int8)
+                sums = stage.window_sums(dg, lo_w, w_count, c)
+                add = O2.g2_add if group_name == "g2" else O2.g1_add
+                hi = None
+                for wsum in reversed(sums):
+                    for _ in range(c):
+                        hi = add(hi, hi)
+                    hi = add(hi, wsum)
+                result["host"] = hi
+
+            th = threading.Thread(target=host_part)
+            th.start()
+
+            def resolve_hybrid():
+                dev = MP.packed_to_int_point(group, packed)
+                th.join()
+                add = O2.g2_add if group_name == "g2" else O2.g1_add
+                mul = self.g2_mul if group_name == "g2" else self.g1_mul
+                hi = result["host"]
+                if hi is not None:
+                    hi = mul(hi, (1 << (c * lo_w)) % O2.R)
+                return add(dev, hi)
+
+            return resolve_hybrid
+
         packed = MP.msm_device_proj(group, aff, digits, c, *ck, slice_n=sl)
 
         def resolve():
@@ -525,11 +621,11 @@ class BlsEngine:
 
         return resolve
 
-    def msm_g1_async(self, bases, scal_dev):
-        return self._msm_dev_async("g1", bases, scal_dev)
+    def msm_g1_async(self, bases, scal_dev, host_limbs=None):
+        return self._msm_dev_async("g1", bases, scal_dev, host_limbs)
 
-    def msm_g2_async(self, bases, scal_dev):
-        return self._msm_dev_async("g2", bases, scal_dev)
+    def msm_g2_async(self, bases, scal_dev, host_limbs=None):
+        return self._msm_dev_async("g2", bases, scal_dev, host_limbs)
 
     def _msm(self, group_name, bases, scalars):
         import jax.numpy as jnp

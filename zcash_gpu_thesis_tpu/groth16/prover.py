@@ -130,10 +130,9 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
 
         a_m, b_m, c_m = (pack_canon(v) for v in
                          (prover.a, prover.b, prover.c))
-        asg_dev = jnp.asarray(
-            Ff.batch_to_limbs(Ff.FR, assignment, mont=False).astype(
-                np.int16)
-        )
+        asg_arr = Ff.batch_to_limbs(Ff.FR, assignment, mont=False).astype(
+            np.int16)
+        asg_dev = jnp.asarray(asg_arr)
         aux_dev = asg_dev[n_in:]
         t0 = _t("pack/upload", t0)
         h_scal = domain.h_poly_dev_canon(a_m, b_m, c_m)
@@ -142,12 +141,18 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         # its 8 MSM futures before the first .wait(), prover.rs:289-353):
         # the device pipelines the bucket sweeps and the host pays one
         # readback latency per point instead of one full round trip per
-        # dispatch+sync pair.
+        # dispatch+sync pair.  The l/a/b MSMs also hand the engine the
+        # host limb array — with the hybrid split on, their top windows
+        # run on native host threads during the device sweeps (the h
+        # scalars only exist on device, so h stays all-device).
         p_h = engine.msm_g1_async(params.h, h_scal)
-        p_l = engine.msm_g1_async(params.l, aux_dev)
-        p_a = engine.msm_g1_async(params.a, asg_dev)
-        p_b1 = engine.msm_g1_async(params.b_g1, asg_dev)
-        p_b2 = engine.msm_g2_async(params.b_g2, asg_dev)
+        p_l = engine.msm_g1_async(params.l, aux_dev,
+                                  host_limbs=asg_arr[n_in:])
+        p_a = engine.msm_g1_async(params.a, asg_dev, host_limbs=asg_arr)
+        p_b1 = engine.msm_g1_async(params.b_g1, asg_dev,
+                                   host_limbs=asg_arr)
+        p_b2 = engine.msm_g2_async(params.b_g2, asg_dev,
+                                   host_limbs=asg_arr)
         t0 = _t("msm dispatch", t0)
         h = p_h()
         t0 = _t("msm h", t0)

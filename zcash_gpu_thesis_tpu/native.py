@@ -59,6 +59,7 @@ def lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 u64p,
             ]
+            getattr(l, f"zktpu_{g}_mul").argtypes = [u64p, u64p, u64p, u64p]
         _lib = l
     return _lib
 
@@ -228,6 +229,61 @@ class MsmStage:
         if getattr(self, "_h", None):
             self._free(self._h)
             self._h = None
+
+
+def _mul_call(fn, xs, ys, k, coords):
+    import ctypes as ct
+
+    karr = _u64_rows([k], 4)[0]
+    out = np.zeros(coords * 6, dtype=np.uint64)
+    p = ct.POINTER(ct.c_uint64)
+    fn(xs.ctypes.data_as(p), ys.ctypes.data_as(p),
+       karr.ctypes.data_as(p), out.ctypes.data_as(p))
+    return out
+
+
+def g1_mul(point, k: int):
+    """Native single G1 scalar mul (canonical ints in/out; None =
+    infinity).  The prover's blinding algebra uses this — a python-int
+    wNAF walk costs ~40 ms per mul vs ~0.3 ms here."""
+    l = lib()
+    assert l is not None, "native library not built (make -C native)"
+    if point is None or k == 0:
+        return None
+    from .constants import Q, modinv
+
+    xs = _u64_rows([point[0]], 6)[0]
+    ys = _u64_rows([point[1]], 6)[0]
+    out = _mul_call(l.zktpu_g1_mul, xs, ys, k, 3)
+    x, y, z = _row_int(out[0:6]), _row_int(out[6:12]), _row_int(out[12:18])
+    if z == 0:
+        return None
+    zi = modinv(z, Q)
+    zi2 = zi * zi % Q
+    return (x * zi2 % Q, y * zi2 % Q * zi % Q)
+
+
+def g2_mul(point, k: int):
+    """Native single G2 scalar mul (pairs of canonical ints)."""
+    l = lib()
+    assert l is not None, "native library not built (make -C native)"
+    if point is None or k == 0:
+        return None
+    from .oracle import curve as O
+
+    xs = np.concatenate([_u64_rows([point[0][0]], 6)[0],
+                         _u64_rows([point[0][1]], 6)[0]])
+    ys = np.concatenate([_u64_rows([point[1][0]], 6)[0],
+                         _u64_rows([point[1][1]], 6)[0]])
+    out = _mul_call(l.zktpu_g2_mul, xs, ys, k, 6)
+    x = (_row_int(out[0:6]), _row_int(out[6:12]))
+    y = (_row_int(out[12:18]), _row_int(out[18:24]))
+    z = (_row_int(out[24:30]), _row_int(out[30:36]))
+    if z == (0, 0):
+        return None
+    zi = O.f2_inv(z)
+    zi2 = O.f2_mul(zi, zi)
+    return (O.f2_mul(x, zi2), O.f2_mul(y, O.f2_mul(zi2, zi)))
 
 
 def limbs_to_bytes(limbs: np.ndarray, row_bytes: int) -> bytes:

@@ -167,6 +167,12 @@ def _apply_conv_mxu(a, w, out_len: int):
     matmul support is generation-dependent; its f32 dot is proven here
     by the bucket kernel's lane-broadcast matmul).
     """
+    tail = a.shape[1:]
+    if a.ndim > 2:
+        # contract over the limb axis regardless of trailing batch dims
+        # (jnp.dot would contract the wrong axis of a >2D operand); the
+        # flatten/unflatten touch only major axes — free relayouts
+        a = a.reshape(a.shape[0], -1)
     a_lo = (a & 127).astype(jnp.float32)
     a_hi = (a >> 7).astype(jnp.float32)
     dot = functools.partial(
@@ -180,7 +186,10 @@ def _apply_conv_mxu(a, w, out_len: int):
     hl = lo[out_len:].astype(jnp.int32)
     lh = hi[:out_len].astype(jnp.int32)
     hh = hi[out_len:].astype(jnp.int32)
-    return ll + ((hl + lh) << 7) + (hh << 14)
+    out = ll + ((hl + lh) << 7) + (hh << 14)
+    if tail != out.shape[1:]:
+        out = out.reshape((out_len,) + tail)
+    return out
 
 
 def redc_tables(spec: FieldSpec):

@@ -89,6 +89,28 @@ def digits_from_ints(xs, c: int) -> np.ndarray:
     return out
 
 
+def digits_from_limbs_np(limbs: np.ndarray, c: int) -> np.ndarray:
+    """Host mirror of ``digits_from_canonical``: [n, L] 12-bit canonical
+    limb rows (any int dtype) -> [n, W] unsigned c-bit digits.  Used by
+    the hybrid window split to build the host digit plane from the same
+    int16 limb array the prover uploads — bit-identical to the device
+    decomposition."""
+    limbs = np.asarray(limbs).astype(np.int64)
+    n_limbs = limbs.shape[1]
+    w_count = -(-FR_BITS // c)
+    out = np.zeros((limbs.shape[0], w_count), dtype=np.int32)
+    for w in range(w_count):
+        bit = c * w
+        l0, s0 = bit // 12, bit % 12
+        if l0 >= n_limbs:
+            continue
+        d = limbs[:, l0] >> s0
+        if s0 + c > 12 and l0 + 1 < n_limbs:
+            d |= limbs[:, l0 + 1] << (12 - s0)
+        out[:, w] = d & ((1 << c) - 1)
+    return out
+
+
 def recode_signed(digits: np.ndarray, c: int) -> np.ndarray:
     """Unsigned c-bit windows -> signed digits in [-(2^(c-1)), 2^(c-1))
     plus one carry window; halves the bucket count (|d| <= 2^(c-1)).
