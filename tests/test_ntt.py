@@ -102,3 +102,148 @@ def test_group_fft_matches_oracle(rng):
         assert got[i] == acc
     back = d.ifft(out)
     assert cv.g1_affine_to_ints(cv.G1.to_affine(back)) == pts_int
+
+
+# ---------------------------------------------------------------------------
+# MXU matmul NTT (ops.ntt_mxu): parity with the butterfly path + the
+# matrix-folded scalings.  The Domain default (config.ntt_impl) routes
+# through this path, so the tests above already exercise it end-to-end;
+# these pin the two impls against each other and the folding algebra.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [8, 64, 512, 4096])
+def test_mxu_matches_butterfly(rng, n):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.constants import R
+    from zcash_gpu_thesis_tpu.ops import field as F
+    from zcash_gpu_thesis_tpu.ops import ntt_mxu as NM
+    from zcash_gpu_thesis_tpu.ops.ntt import Domain
+
+    d = Domain(n)
+    xs = [rng.randrange(R) for _ in range(n)]
+    a = jnp.asarray(F.batch_to_limbs(F.FR, xs))
+    at = jnp.swapaxes(a, 0, 1)
+    tws_f = NM.make_twiddles(n, d.omega)
+    tws_i = NM.make_twiddles(n, d.omega_inv)
+
+    def ints(t):
+        return F.batch_from_limbs(F.FR, np.asarray(jnp.swapaxes(t, 0, 1)))
+
+    # bfly reference (bypasses the impl switch)
+    bfly = jax.jit(lambda x: d._fft(x, d.omega))
+    want = F.batch_from_limbs(F.FR, np.asarray(bfly(a)))
+    got = ints(jax.jit(lambda x: NM.fft_t_mxu(x, d.omega, n, tws_f))(at))
+    assert got == want
+
+    # coset via column-scale folding == distribute_powers + fft
+    from zcash_gpu_thesis_tpu.ops import ntt as N
+    coset = jax.jit(lambda x: d._fft(
+        F.mont_mul(F.FR, x, N.powers(d.gen, n)), d.omega))
+    want = F.batch_from_limbs(F.FR, np.asarray(coset(a)))
+    got = ints(jax.jit(lambda x: NM.fft_t_mxu(
+        x, d.omega, n, tws_f, col_scale=d.gen))(at))
+    assert got == want
+
+    # icoset via row-scale + const folding
+    icoset = jax.jit(lambda x: F.mont_mul(
+        F.FR,
+        F.mont_mul(F.FR, d._fft(x, d.omega_inv),
+                   F.mont_const(F.FR, d.n_inv, (1,))),
+        N.powers(d.gen_inv, n)))
+    want = F.batch_from_limbs(F.FR, np.asarray(icoset(a)))
+    got = ints(jax.jit(lambda x: NM.fft_t_mxu(
+        x, d.omega_inv, n, tws_i, row_scale=d.gen_inv,
+        const_scale=d.n_inv))(at))
+    assert got == want
+
+
+def test_mxu_canonical_form_chain(rng):
+    """Canonical-form flow: canonical limbs in -> canonical DFT out
+    (the R bookkeeping rides the Montgomery-form matrices)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.constants import R
+    from zcash_gpu_thesis_tpu.ops import field as F
+    from zcash_gpu_thesis_tpu.ops import ntt_mxu as NM
+    from zcash_gpu_thesis_tpu.ops.ntt import Domain
+
+    n = 256
+    d = Domain(n)
+    xs = [rng.randrange(R) for _ in range(n)]
+    ac = jnp.swapaxes(
+        jnp.asarray(F.batch_to_limbs(F.FR, xs, mont=False)), 0, 1)
+    tws = NM.make_twiddles(n, d.omega)
+    got = F.batch_from_limbs(
+        F.FR,
+        np.asarray(jnp.swapaxes(
+            jax.jit(lambda x: NM.fft_t_mxu(x, d.omega, n, tws))(ac), 0, 1)),
+        mont=False)
+    want = [sum(x * pow(d.omega, i * j, R) for j, x in enumerate(xs)) % R
+            for i in range(n)]
+    assert got == want
+
+
+def test_mulsub_rows(rng):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.constants import R
+    from zcash_gpu_thesis_tpu.ops import field as F
+    from zcash_gpu_thesis_tpu.ops import ntt_mxu as NM
+
+    n = 512
+    xs = [rng.randrange(R) for _ in range(n)]
+    ys = [rng.randrange(R) for _ in range(n)]
+    zs = [rng.randrange(R) for _ in range(n)]
+    t = lambda v: jnp.swapaxes(jnp.asarray(F.batch_to_limbs(F.FR, v)), 0, 1)
+    got = F.batch_from_limbs(
+        F.FR,
+        np.asarray(jnp.swapaxes(jax.jit(NM.mulsub_rows)(
+            t(xs), t(ys), t(zs)), 0, 1)))
+    assert got == [(x * y - z) % R for x, y, z in zip(xs, ys, zs)]
+
+
+def test_engine_h_poly_canon_matches_oracle(rng):
+    """The engine's canonical-form MXU H(x) chain vs the python-int QAP
+    oracle (prover.rs:256-283 semantics)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.constants import R, modinv
+    from zcash_gpu_thesis_tpu.groth16.engine import BlsEngine
+    from zcash_gpu_thesis_tpu.ops import field as F
+
+    n = 64
+    e = BlsEngine()
+    dom = e.domain(n)
+    a = [rng.randrange(R) for _ in range(n)]
+    b = [rng.randrange(R) for _ in range(n)]
+    c = [rng.randrange(R) for _ in range(n)]
+
+    def pack(v):
+        return jnp.asarray(
+            F.batch_to_limbs(F.FR, v, mont=False).astype(np.int16))
+
+    h = np.asarray(dom.h_poly_dev_canon(pack(a), pack(b), pack(c)))
+    # raw limbs must be EXACT canonical digits (the MSM digit
+    # decomposition reads them bitwise — lazy limbs would silently
+    # corrupt the h MSM)
+    assert h.min() >= 0 and h.max() < (1 << 12)
+    vals = [sum(int(h[i, k]) << (12 * k) for k in range(h.shape[1]))
+            for i in range(n)]
+    assert all(v < R for v in vals)
+
+    # oracle: the engine's already-tested python-int facade
+    want = dom.h_poly(a, b, c)
+    assert vals[:-1] == [w % R for w in want] and vals[-1] == 0

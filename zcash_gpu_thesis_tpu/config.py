@@ -80,6 +80,24 @@ def pallas_redc_mxu() -> bool:
     return True
 
 
+def ntt_impl() -> str:
+    """NTT backend: 'mxu' (DFT-by-matmul passes + Pallas reduction tail,
+    ops.ntt_mxu) or 'bfly' (radix-2 butterfly stages).  ZKTPU_NTT
+    overrides.  Default mxu everywhere — the two paths are bit-identical
+    (tested) and mxu is faster on both backends at production sizes."""
+    return os.environ.get("ZKTPU_NTT", "mxu")
+
+
+def ntt_pallas_tail() -> bool:
+    """Run the NTT pass tail (fold+ripple+REDC+twiddle) as a Pallas VMEM
+    kernel.  Default on TPU only; the XLA form is bit-identical and is
+    what the CPU test backend runs.  ZKTPU_NTT_TAIL=pallas|xla."""
+    mode = os.environ.get("ZKTPU_NTT_TAIL")
+    if mode:
+        return mode == "pallas"
+    return _backend() != "cpu"
+
+
 def g2_msm_impl() -> str:
     """G2 MSM backend: 'pallas' (VMEM bucket kernel) or 'xla' (scan path).
 

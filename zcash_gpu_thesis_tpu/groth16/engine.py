@@ -80,9 +80,99 @@ class _BlsDomain:
 
         self.d = Domain(n)
         self.n = n
-        self._jit_h = jax.jit(self._h_impl)
+        if self.d.impl == "mxu":
+            self._jit_h = jax.jit(
+                lambda a, b, c, tabs: self._h_impl_mxu(
+                    a, b, c, tabs, mont_in=True))
+            self._jit_h_canon_mxu = jax.jit(
+                lambda a, b, c, tabs: self._h_impl_mxu(
+                    a, b, c, tabs, mont_in=False))
+        else:
+            self._jit_h = jax.jit(self._h_impl)
         self._jit_h_canon = None
         self._jit_h_sharded = None
+
+    def _mxu_tables(self, mont_in: bool):
+        """Device twiddle + matrix tables for the H(x) chain, as jit
+        ARGUMENTS (embedding the ~38 MB matrices as jit constants blows
+        the remote-compile payload limit)."""
+        from ..constants import modinv
+        from ..ops.ntt import FR
+
+        d = self.d
+        z_inv = modinv((pow(d.gen, self.n, FR.modulus) - 1) % FR.modulus,
+                       FR.modulus)
+        final_const = z_inv * d.n_inv % FR.modulus
+        if mont_in:
+            final_const = final_const * modinv(FR.r, FR.modulus) \
+                % FR.modulus
+        b_const = 1 if mont_in else FR.r
+        return (
+            d.tws_for(d.omega),
+            d.tws_for(d.omega_inv),
+            d.mats_for(d.omega_inv, const_scale=d.n_inv),  # ifft
+            d.mats_for(d.omega, col_scale=d.gen),          # coset a/c
+            d.mats_for(d.omega, col_scale=d.gen,           # coset b
+                       const_scale=b_const),
+            d.mats_for(d.omega_inv, row_scale=d.gen_inv,   # final ifft
+                       const_scale=final_const),
+        )
+
+    def _h_impl_mxu(self, a_in, b_in, c_in, tabs, mont_in: bool):
+        """H(x) via the MXU matmul NTT (ops.ntt_mxu): 7 transforms + ONE
+        pointwise kernel.  Every constant scaling — 1/n, the coset
+        generator powers (distribute_powers), z_inv, the Montgomery-form
+        boundary — is folded into the host-side DFT matrices at zero
+        runtime cost:
+
+          * the chain runs on CANONICAL-form values end-to-end (inputs
+            are canonical limbs straight from the witness pack; with
+            mont_in=True an R^-1 is folded into the final transform
+            instead — either way there is NO to_mont/from_mont pass);
+          * the a*b-c product stage needs one Montgomery bias R, folded
+            into b's coset-transform matrices (mont_mul(A, B*R) = A*B).
+
+        Mirrors prover.rs:256-283; output = canonical standard-form
+        H(x) digit rows with the top coefficient zeroed (the reference's
+        truncate)."""
+        from ..ops import ntt_mxu as NM
+        from ..ops.ntt import FR
+
+        import jax.numpy as jnp2
+
+        d = self.d
+        n = self.n
+        tws_f, tws_i, m_ifft, m_coset, m_coset_b, m_final = tabs
+
+        def t(x):
+            return jnp2.swapaxes(x.astype(jnp2.int32), 0, 1)
+
+        def ifft_t(x):
+            return NM.fft_t_mxu(x, d.omega_inv, n, tws_i, mats=m_ifft)
+
+        def coset_t(x, mats):
+            return NM.fft_t_mxu(x, d.omega, n, tws_f, mats=mats)
+
+        # Form ledger at the product stage: with a/b/c carrying form
+        # factors (alpha, beta, gamma), mont_mul(A, B) - C is consistent
+        # iff alpha*beta/R == gamma.  Canonical inputs (1, 1, 1) need an
+        # R bias folded into b's coset matrices; Montgomery inputs
+        # (R, R, R) are already consistent and leave one net R on the
+        # output, cancelled in the final transform's constant (both
+        # handled by _mxu_tables).
+        a = coset_t(ifft_t(t(a_in)), m_coset)
+        b = coset_t(ifft_t(t(b_in)), m_coset_b)
+        c = coset_t(ifft_t(t(c_in)), m_coset)
+        ab = NM.mulsub_rows(a, b, c)  # A*B - C
+        h = NM.fft_t_mxu(ab, d.omega_inv, n, tws_i, mats=m_final)
+        # exact canonical digits: the transform's REDC leaves lazy limbs
+        # (value < p(1+2^-11), limbs <= 2^12+2) but the MSM digit
+        # decomposition reads raw 12-bit digits — same boundary the bfly
+        # path crosses via from_mont's weak canon
+        from ..ops import field as F2
+
+        h = F2.canon(FR, jnp2.swapaxes(h, 0, 1), weak=True)
+        return h.at[-1].set(0)
 
     def _h_impl(self, a_mont, b_mont, c_mont):
         """Single traced graph for the whole H(x) block — one device
@@ -152,6 +242,9 @@ class _BlsDomain:
                     lambda a, b, c: pm.h_poly_sharded(self.n, a, b, c, mesh)
                 )
             return self._jit_h_sharded(a_mont, b_mont, c_mont)
+        if self.d.impl == "mxu":
+            return self._jit_h(a_mont, b_mont, c_mont,
+                               self._mxu_tables(mont_in=True))
         return self._jit_h(a_mont, b_mont, c_mont)
 
     def h_poly_dev_canon(self, a, b, c):
@@ -172,6 +265,11 @@ class _BlsDomain:
 
         if mesh_devices() > 1:
             return self.h_poly_dev(*(conv(v) for v in (a, b, c)))
+        if self.d.impl == "mxu":
+            # canonical end-to-end: no to_mont pass at all (the R
+            # bookkeeping is folded into the DFT matrices)
+            return self._jit_h_canon_mxu(a, b, c,
+                                         self._mxu_tables(mont_in=False))
         if self._jit_h_canon is None:
             import jax
 

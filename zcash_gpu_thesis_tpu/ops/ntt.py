@@ -188,6 +188,32 @@ class Domain:
         # remote-TPU tunnel (one HTTP round trip per op)
         import jax
 
+        from ..config import ntt_impl
+
+        self.impl = ntt_impl() if n >= 8 else "bfly"
+        self._tws = {}  # omega_int -> per-pass twiddle tables (mxu impl)
+        self._mats = {}  # (omega, col, row, const) -> per-pass matrices
+        if self.impl == "mxu":
+            from . import ntt_mxu as NM
+
+            m = self._mxu = NM
+            self._jit_fft = jax.jit(
+                lambda a, tws, mats: m.fft_rows_mxu(
+                    a, self.omega, n, tws, mats=mats))
+            self._jit_ifft = jax.jit(
+                lambda a, tws, mats: m.fft_rows_mxu(
+                    a, self.omega_inv, n, tws, const_scale=self.n_inv,
+                    mats=mats))
+            self._jit_coset_fft = jax.jit(
+                lambda a, tws, mats: m.fft_rows_mxu(
+                    a, self.omega, n, tws, col_scale=self.gen,
+                    mats=mats))
+            self._jit_icoset_fft = jax.jit(
+                lambda a, tws, mats: m.fft_rows_mxu(
+                    a, self.omega_inv, n, tws, row_scale=self.gen_inv,
+                    const_scale=self.n_inv, mats=mats))
+            return
+
         self._jit_fft = jax.jit(lambda a: self._fft(a, self.omega))
         self._jit_ifft = jax.jit(
             lambda a: F.mont_mul(
@@ -210,6 +236,25 @@ class Domain:
                 powers(self.gen_inv, self.n),
             )
         )
+
+    def tws_for(self, omega_int: int):
+        """Cached per-direction twiddle tables (mxu impl)."""
+        hit = self._tws.get(omega_int)
+        if hit is None:
+            hit = self._tws[omega_int] = self._mxu.make_twiddles(
+                self.n, omega_int)
+        return hit
+
+    def mats_for(self, omega_int: int, col_scale: int = 1,
+                 row_scale: int = 1, const_scale: int = 1):
+        """Cached per-variant device DFT matrices (mxu impl)."""
+        key = (omega_int, col_scale, row_scale, const_scale)
+        hit = self._mats.get(key)
+        if hit is None:
+            hit = self._mats[key] = self._mxu.make_mats(
+                self.n, omega_int, col_scale=col_scale,
+                row_scale=row_scale, const_scale=const_scale)
+        return hit
 
     # -- core transform -----------------------------------------------------
 
@@ -234,10 +279,17 @@ class Domain:
 
     def fft(self, a):
         """Coefficients -> evaluations on the subgroup (domain.rs:83)."""
+        if self.impl == "mxu":
+            return self._jit_fft(a, self.tws_for(self.omega),
+                                 self.mats_for(self.omega))
         return self._jit_fft(a)
 
     def ifft(self, a):
         """Evaluations -> coefficients; scales by 1/n (domain.rs:90-103)."""
+        if self.impl == "mxu":
+            return self._jit_ifft(
+                a, self.tws_for(self.omega_inv),
+                self.mats_for(self.omega_inv, const_scale=self.n_inv))
         return self._jit_ifft(a)
 
     # -- coset machinery (H(x) computation, prover.rs:256-283) --------------
@@ -248,10 +300,19 @@ class Domain:
 
     def coset_fft(self, a):
         """Evaluate on the coset gH (domain.rs:120)."""
+        if self.impl == "mxu":
+            return self._jit_coset_fft(
+                a, self.tws_for(self.omega),
+                self.mats_for(self.omega, col_scale=self.gen))
         return self._jit_coset_fft(a)
 
     def icoset_fft(self, a):
         """Inverse of coset_fft (domain.rs:126-132)."""
+        if self.impl == "mxu":
+            return self._jit_icoset_fft(
+                a, self.tws_for(self.omega_inv),
+                self.mats_for(self.omega_inv, row_scale=self.gen_inv,
+                              const_scale=self.n_inv))
         return self._jit_icoset_fft(a)
 
     def divide_by_z_on_coset(self, a):
