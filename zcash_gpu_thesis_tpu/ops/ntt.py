@@ -52,120 +52,6 @@ def powers(base_int: int, n: int):
     return acc[:n]
 
 
-# ---------------------------------------------------------------------------
-# Transposed-limb four-step NTT.
-#
-# The limb-last [n, L] butterflies above put L = 24 limbs on the TPU's
-# 128-wide lane axis — ~5x lane waste, and exactly the measured gap between
-# the NTT's ~4-8% of peak and the field-mul ceiling (PERF.md).  This
-# variant keeps arrays [L, n1, n2] (limbs leading, as in ops.field_t):
-# column FFTs batch over the n2 lane axis, row FFTs over n1, every
-# reshape touches only major axes (free), and the single axis swap in the
-# middle is the four-step transpose.  Same decomposition as the mesh
-# version (parallel.mesh.sharded_ntt) run on one device.
-# ---------------------------------------------------------------------------
-
-from . import field_t as FT  # noqa: E402  (after F import by design)
-
-
-def const_t(int_val: int, cols: int = 1):
-    """Montgomery-form constant as a transposed [L, cols] device array."""
-    from ..utils.limbs import int_to_limbs
-
-    digits = int_to_limbs(int_val * FR.r % FR.modulus, FR.n_limbs)
-    col = np.asarray(digits, dtype=np.int32)[:, None]
-    return jnp.asarray(np.repeat(col, cols, axis=1))
-
-
-def _fft_axis1(x, omega_int: int, nlen: int, bitrev, pw_t):
-    """Radix-2 DIT along axis 1 of [L, nlen, B] (transposed limbs).
-
-    ``bitrev``: [nlen] int32 gather indices; ``pw_t``: [L, nlen//2]
-    transposed twiddle powers omega^j.
-    """
-    L = FR.n_limbs
-    B = x.shape[2]
-    log_n = nlen.bit_length() - 1
-    x = jnp.take(x, bitrev, axis=1)
-    for s in range(log_n):
-        m = 1 << s
-        stride = nlen // (2 * m)
-        w = pw_t[:, ::stride][:, :m]  # [L, m]
-        x = x.reshape(L, nlen // (2 * m), 2, m, B)
-        lo, hi = x[:, :, 0], x[:, :, 1]
-        t = FT.mont_mul(FR, hi, w[:, None, :, None])
-        x = jnp.stack([FT.add(FR, lo, t), FT.sub(FR, lo, t)], axis=2)
-    return x.reshape(L, nlen, B)
-
-
-class DomainT:
-    """Four-step transposed-limb NTT of size n = n1 * n2.
-
-    Operates on [L, n] Montgomery arrays (limbs leading).  Bit-exact to
-    ``Domain`` (tested) — same math, lane-friendly layout.
-    """
-
-    _cache: dict = {}
-
-    def __new__(cls, n: int):
-        hit = cls._cache.get(n)
-        if hit is None:
-            hit = super().__new__(cls)
-            hit._init(n)
-            cls._cache[n] = hit
-        return hit
-
-    def _init(self, n: int):
-        assert n & (n - 1) == 0 and n >= 4
-        self.n = n
-        self.log_n = n.bit_length() - 1
-        l1 = self.log_n // 2
-        self.n1 = 1 << l1
-        self.n2 = n // self.n1
-        self.omega = pow(FR_ROOT_OF_UNITY,
-                         1 << (FR_TWO_ADICITY - self.log_n), R)
-        self.omega_inv = modinv(self.omega, R)
-        self.n_inv = modinv(n, R)
-        self._rev1 = jnp.asarray(_bitrev_indices(self.n1))
-        self._rev2 = jnp.asarray(_bitrev_indices(self.n2))
-
-    def _tables(self, omega_int: int):
-        """(pw1_t, pw2_t, tw_t) device twiddle tables for one direction."""
-        omega1 = pow(omega_int, self.n2, R)
-        omega2 = pow(omega_int, self.n1, R)
-        pw1 = jnp.swapaxes(powers(omega1, max(self.n1 // 2, 1)), 0, 1)
-        pw2 = jnp.swapaxes(powers(omega2, max(self.n2 // 2, 1)), 0, 1)
-        # inter-stage twiddle omega^(k1*j2) as [L, n1, n2]: gather from the
-        # full power table (exponents < n) then transpose limbs leading
-        e = (np.arange(self.n1, dtype=np.int64)[:, None]
-             * np.arange(self.n2, dtype=np.int64)[None, :]) % self.n
-        pw = powers(omega_int, self.n)  # [n, L]
-        tw = jnp.take(pw, jnp.asarray(e.reshape(-1), dtype=jnp.int32),
-                      axis=0).reshape(self.n1, self.n2, FR.n_limbs)
-        tw = jnp.transpose(tw, (2, 0, 1))
-        return pw1, pw2, tw
-
-    def fft_t(self, x, inverse: bool = False):
-        """[L, n] Montgomery -> [L, n] NTT (natural order both sides)."""
-        L = FR.n_limbs
-        omega = self.omega_inv if inverse else self.omega
-        pw1, pw2, tw = self._tables(omega)
-        a = x.reshape(L, self.n1, self.n2)
-        # 1) column FFTs over j1 (axis 1), lanes = n2
-        y = _fft_axis1(a, 0, self.n1, self._rev1, pw1)
-        # 2) twiddle
-        y = FT.mont_mul(FR, y, tw)
-        # 3) transpose (the four-step exchange)
-        y = jnp.swapaxes(y, 1, 2)  # [L, n2(j2), n1(k1)]
-        # 4) row FFTs over j2 (axis 1), lanes = n1
-        z = _fft_axis1(y, 0, self.n2, self._rev2, pw2)
-        # z[:, k2, k1]: X[k1 + n1*k2] -> row-major flatten is k2-major
-        out = z.reshape(L, self.n)
-        if inverse:
-            out = FT.mont_mul(FR, out, const_t(self.n_inv))
-        return out
-
-
 class Domain:
     """Evaluation domain of size n = 2^k <= 2^32 (Fr 2-adicity, fr.rs S=32).
 
