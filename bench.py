@@ -1,10 +1,16 @@
-"""Headline benchmark: 131,071-point BLS12-381 G1 MSM.
+"""Headline benchmark: the whole Sapling Spend proof + the 131k MSM.
 
-The reference's "131k test" (Chapter6.tex:86-96) — the H-base MSM of a real
-Sapling Spend proof — is its headline number: 0.75 s on the i7-7700HQ CPU
-(best), 0.96 s on the best GPU (finalresults.py).  This prints ONE JSON
-line with our TPU time for the same-size MSM and the speedup vs the CPU
-baseline.
+The reference's two headline numbers (tex/Figures/wholeproof.py:7,
+finalresults.py:7): the whole Sapling Spend proof (2.0 s on the i7-7700HQ,
+instrumented at prover.rs:283,357) and the 131,071-point BLS12-381 G1 MSM
+from the same proof's H vector (0.75 s CPU best; 0.96 s best GPU).
+
+Default mode runs BOTH — the bare 131k MSM on distinct seeded fixture
+points, then the real warm ``create_proof`` on the 98,777-constraint Spend
+circuit with the cached CRS — and prints ONE final JSON line carrying both
+metrics.  The spend "compute" figure includes pack/upload (host->device
+transfer of the evaluation vectors), matching what the reference's 2.0 s
+covers; witness synthesis and FFI wall time are reported beside it.
 
 Run on whatever backend is available (TPU under axon; CPU fallback works
 but is not the scored configuration).
@@ -108,15 +114,16 @@ def bench_prover(scale: int = 1):
     }))
 
 
-def bench_spend(repeat: int = 3):
+def bench_spend(repeat: int = 3, emit: bool = True):
     """True warm whole-proof wall-clock: a real ``create_proof`` on the
     98,777-constraint Sapling Spend circuit with a real witness and the
     cached CRS — the reference's headline 2.0 s workload
     (wholeproof.py:7, instrumented at prover.rs:283,357).
 
-    Prints the FFT+MSM+blinding compute time (the quantity the thesis's
-    2.0 s measures — its Rust witness synthesis is negligible there) with
-    the python synthesis time reported alongside."""
+    The headline "compute" = create_proof total minus witness synthesis:
+    pack/upload + FFT + MSMs + blinding (the reference's 2.0 s covers its
+    cheap equivalents of all of these); synthesis and the full FFI wall
+    time are reported alongside."""
     import io
     from contextlib import redirect_stdout
 
@@ -176,10 +183,10 @@ def bench_spend(repeat: int = 3):
 
     wall, tm = min(runs[1:], key=lambda r: sum(
         v for k, v in r[1].items()
-        if k not in ("synthesis", "total", "pack/upload")))
+        if k not in ("synthesis", "total")))
     msm = sum(v for k, v in tm.items() if k.startswith("msm"))
-    compute = tm.get("fft (h poly)", 0) + msm + tm.get("blinding", 0)
-    print(json.dumps({
+    compute = tm.get("total", 0) - tm.get("synthesis", 0)
+    out = {
         "metric": "sapling_spend_proof",
         "value": round(compute, 4),
         "unit": "s",
@@ -192,7 +199,10 @@ def bench_spend(repeat: int = 3):
         "pack_s": round(tm.get("pack/upload", 0), 4),
         "create_proof_total_s": round(tm.get("total", 0), 4),
         "ffi_wall_s": round(wall, 4),
-    }))
+    }
+    if emit:
+        print(json.dumps(out))
+    return out
 
 
 def _rand_fr_limbs_np(rng_np, n):
@@ -389,11 +399,7 @@ def bench_ntt(log_n: int = 23):
     assert ok, "NTT sampled evaluations do not match host pow()"
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def bench_msm_131k(emit: bool = True):
     import jax.numpy as jnp
 
     from zcash_gpu_thesis_tpu.oracle import curve as O
@@ -401,14 +407,18 @@ def main():
     from zcash_gpu_thesis_tpu.ops import msm as M
     from zcash_gpu_thesis_tpu.ops.curve import G1
 
-    rng = random.Random(0x5DBE6259)  # generate_points seed (ec.rs:2539)
+    # 131,071 DISTINCT points from the seeded fixture stream (the
+    # reference's generate_points, ec.rs:2527-2552): point i = k_i * G for
+    # xorshift128-seeded k_i, computed by the device batched fixed-base
+    # walk; scalars from the same stream.  Known k_i make the bit-exact
+    # oracle one host mult: sum_i s_i * (k_i G) = (sum_i s_i k_i) * G.
+    from zcash_gpu_thesis_tpu.groth16 import BlsEngine
+    from zcash_gpu_thesis_tpu.utils.fixtures import XorShift128
 
-    # Distinct base points are produced by a device-side batched fixed-base
-    # walk (tiling a small python-generated set); the MSM is oblivious to
-    # point values, so this matches the dumped-workload shape.
-    base = O.random_g1_points(rng, 64)
-    pts = [base[i % 64] for i in range(N)]
-    scalars = [rng.randrange(O.R) for _ in range(N)]
+    fx = XorShift128()
+    ks = [fx.fr() for _ in range(N)]
+    scalars = [fx.fr() for _ in range(N)]
+    pts = BlsEngine().fixed_base_g1(ks)
 
     from zcash_gpu_thesis_tpu.config import msm_config
     from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
@@ -453,33 +463,55 @@ def main():
         times.append(time.perf_counter() - t0)
     t = min(times)
 
-    # bit-exact check: the point stream tiles 64 bases, so the true sum
-    # is sum_j (sum of class-j scalars mod r) * P_j (64 host mults)
-    want = None
-    for j in range(64):
-        s = sum(scalars[j::64]) % O.R
-        want = O.g1_add(want, O.g1_mul(base[j], s))
+    # bit-exact check: one host mult of the generator (k_i known above)
+    want = O.g1_mul(O.G1_GEN,
+                    sum(s * k for s, k in zip(scalars, ks)) % O.R)
     ok = out == want
-    print(
-        json.dumps(
-            {
-                "metric": "g1_msm_131k",
-                "value": round(t, 4),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_S / t, 3),
-                "bit_exact": ok,
-            }
-        )
-    )
+    res = {
+        "metric": "g1_msm_131k",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / t, 3),
+        "bit_exact": ok,
+    }
+    if emit:
+        print(json.dumps(res))
     assert ok, "headline MSM does not match the oracle"
+    return res
+
+
+def headline(repeat: int = 3):
+    """Default mode: the bare 131k MSM AND the warm whole Spend proof,
+    combined into ONE final JSON line (the driver parses the tail line,
+    so both flagship metrics must be in it)."""
+    msm = bench_msm_131k(emit=True)
+    spend = bench_spend(repeat, emit=True)
+    print(json.dumps({
+        "metric": "headline",
+        "value": spend["value"],
+        "unit": "s",
+        "vs_baseline": spend["vs_baseline"],
+        "sapling_spend_proof_s": spend["value"],
+        "spend_vs_baseline": spend["vs_baseline"],
+        "g1_msm_131k_s": msm["value"],
+        "msm_vs_baseline": msm["vs_baseline"],
+        "fft_s": spend["fft_s"],
+        "msm_s": spend["msm_s"],
+        "msm_split": spend["msm_split"],
+        "pack_s": spend["pack_s"],
+        "synthesis_s": spend["synthesis_s"],
+        "create_proof_total_s": spend["create_proof_total_s"],
+        "ffi_wall_s": spend["ffi_wall_s"],
+        "bit_exact": msm["bit_exact"],
+    }))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=["msm", "prover", "spend", "msm20", "msm24",
-                             "ntt23", "large"],
-                    default="msm")
+                    choices=["headline", "msm", "prover", "spend", "msm20",
+                             "msm24", "ntt23", "large"],
+                    default="headline")
     ap.add_argument("--scale", type=int, default=1,
                     help="divide the prover-replay sizes (smoke testing)")
     ap.add_argument("--repeat", type=int, default=3)
@@ -488,22 +520,24 @@ if __name__ == "__main__":
     ap.add_argument("--group", choices=["g1", "g2"], default="g1")
     ns = ap.parse_args()
     mode = ns.mode
-    if mode == "msm":
-        main()
-    else:
-        import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        if mode == "prover":
-            bench_prover(ns.scale)
-        elif mode == "spend":
-            bench_spend(ns.repeat)
-        elif mode == "msm20":
-            bench_large_msm(20, ns.group)
-        elif mode == "msm24":
-            bench_large_msm(24, "g1")
-        elif mode == "ntt23":
-            bench_ntt(23)
-        elif mode == "large":
-            bench_large_msm(ns.log_n or 20, ns.group)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if mode == "headline":
+        headline(ns.repeat)
+    elif mode == "msm":
+        bench_msm_131k()
+    elif mode == "prover":
+        bench_prover(ns.scale)
+    elif mode == "spend":
+        bench_spend(ns.repeat)
+    elif mode == "msm20":
+        bench_large_msm(20, ns.group)
+    elif mode == "msm24":
+        bench_large_msm(24, "g1")
+    elif mode == "ntt23":
+        bench_ntt(23)
+    elif mode == "large":
+        bench_large_msm(ns.log_n or 20, ns.group)

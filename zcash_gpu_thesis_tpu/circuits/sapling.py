@@ -52,6 +52,13 @@ def expose_value_commitment(cs, name: str, value_commitment):
 class Spend(Circuit):
     """The Sapling Spend statement (sapling/mod.rs:35-463)."""
 
+    @staticmethod
+    def structure_key():
+        # Constraint structure is witness-independent (the reference pins
+        # it: 98,777 constraints, sapling/mod.rs:715) — cacheable for the
+        # compiled-R1CS prover path.
+        return "sapling-spend"
+
     def __init__(self, value_commitment=None, proof_generation_key=None,
                  payment_address=None, commitment_randomness: Optional[int] = None,
                  ar: Optional[int] = None,
@@ -193,6 +200,10 @@ class Spend(Circuit):
 
 class Output(Circuit):
     """The Sapling Output statement (sapling/mod.rs:464-600)."""
+
+    @staticmethod
+    def structure_key():
+        return "sapling-output"  # 7,827 constraints (mod.rs:792), fixed
 
     def __init__(self, value_commitment=None, payment_address=None,
                  commitment_randomness: Optional[int] = None,

@@ -261,6 +261,11 @@ class JoinSplit(Circuit):
         )
         self.rt = rt
 
+    @staticmethod
+    def structure_key():
+        # 1,989,085 constraints, witness-independent (sprout/mod.rs:465)
+        return "sprout-joinsplit"
+
     def synthesize(self, cs):
         assert len(self.inputs) == 2 and len(self.outputs) == 2
         vpub_old = NoteValue(cs, "vpub_old", self.vpub_old)

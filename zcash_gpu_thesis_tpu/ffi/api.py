@@ -85,6 +85,10 @@ def _load_params_checked(path, expected_hash):
         data = hr.read()
     if expected_hash is not None and hr.into_hash() != expected_hash:
         raise ValueError(f"params file hash mismatch: {path}")
+    # compiled-R1CS structures persist next to the params files
+    from ..groth16 import witness as _witness
+
+    _witness.set_params_dir(os.path.dirname(os.path.abspath(path)))
     return codecs.params_from_bytes(data)
 
 

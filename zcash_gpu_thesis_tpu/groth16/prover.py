@@ -18,6 +18,7 @@ import random
 import time
 from typing import Optional
 
+from . import witness
 from .params import Parameters, Proof
 from .r1cs import ConstraintSystem, LinearCombination, SynthesisError, Variable
 
@@ -39,15 +40,24 @@ def _t(label, t0):
 
 
 class ProvingAssignment(ConstraintSystem):
-    """Witness-side synthesis (prover.rs:84-190): evaluates every
-    constraint's three linear combinations at the assignment."""
+    """Witness-side synthesis (prover.rs:84-190).
 
-    def __init__(self, modulus: int):
+    Unlike the reference (whose compiled-Rust ``enforce`` eagerly
+    evaluates the three LinearCombinations), ``enforce`` here only
+    RECORDS term structure — or, when the circuit's constraint matrices
+    are already compiled (``groth16.witness``), just counts.  The actual
+    a/b/c evaluation happens afterwards as one vectorized matrix-vector
+    product per matrix; a python-int interpreter walking ~30M terms per
+    Sprout proof was the dominant wall-clock cost."""
+
+    def __init__(self, modulus: int, record: bool = True):
         super().__init__()
         self.modulus = modulus
         self.input_assignment = []
         self.aux_assignment = []
-        self.a, self.b, self.c = [], [], []
+        self.term_rows = []  # [(a_terms, b_terms, c_terms)] when recording
+        self.n_constraints = 0
+        self._record = record
         self.alloc_input("one", lambda: 1)
 
     def alloc(self, name, f):
@@ -65,12 +75,30 @@ class ProvingAssignment(ConstraintSystem):
         return Variable("input", len(self.input_assignment) - 1)
 
     def enforce(self, name, a, b, c):
-        ev = lambda lc: lc.eval(
-            self.input_assignment, self.aux_assignment, self.modulus
-        )
-        self.a.append(ev(a))
-        self.b.append(ev(b))
-        self.c.append(ev(c))
+        self.n_constraints += 1
+        if self._record:
+            self.term_rows.append((a.terms, b.terms, c.terms))
+
+    def eval_abc(self):
+        """Python-int a/b/c evaluation from the recorded terms, including
+        the input consistency rows — the slow path for engines without
+        device scalars (and the oracle the device SpMV is tested
+        against)."""
+        p = self.modulus
+        inp, aux = self.input_assignment, self.aux_assignment
+        a_v, b_v, c_v = [], [], []
+        for a_t, b_t, c_t in self.term_rows:
+            for terms, out in ((a_t, a_v), (b_t, b_v), (c_t, c_v)):
+                acc = 0
+                for v, c in terms:
+                    acc += c * (inp[v.index] if v.kind == "input"
+                                else aux[v.index])
+                out.append(acc % p)
+        for v in inp:
+            a_v.append(v)
+            b_v.append(0)
+            c_v.append(0)
+        return a_v, b_v, c_v
 
 
 def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
@@ -79,15 +107,17 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
     last_timings.clear()
     t_start = time.perf_counter()
     t0 = time.perf_counter()
-    prover = ProvingAssignment(p)
+    device_scalars = getattr(engine, "supports_device_scalars", False)
+    struct_key = None
+    compiled = None
+    if device_scalars:
+        sk = getattr(circuit, "structure_key", None)
+        if sk is not None:
+            struct_key = f"{engine.name}-{sk()}"
+            compiled = witness.get_structure(struct_key)
+    prover = ProvingAssignment(p, record=compiled is None)
     circuit.synthesize(prover)
     t0 = _t("synthesis", t0)
-
-    # Input consistency constraints (prover.rs:228-234).
-    for i, v in enumerate(prover.input_assignment):
-        prover.a.append(v)
-        prover.b.append(0)
-        prover.c.append(0)
 
     vk = params.vk
 
@@ -95,46 +125,49 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
     if vk.delta_g1 is None or vk.delta_g2 is None:
         raise SynthesisError("unexpected identity delta")
 
-    # H(x) (prover.rs:256-283).
+    # H(x) (prover.rs:256-283).  Rows = constraints + the input
+    # consistency constraints (prover.rs:228-234, compiled into the A
+    # matrix / appended by eval_abc).
+    n_in = params.num_inputs
+    n_rows = prover.n_constraints + len(prover.input_assignment)
     m = 1
-    while m < len(prover.a):
+    while m < n_rows:
         m *= 2
     domain = engine.domain(m)
-    n_in = params.num_inputs
     assignment = prover.input_assignment + prover.aux_assignment
 
-    if getattr(engine, "supports_device_scalars", False):
-        # Device-resident pipeline: the a/b/c evaluation vectors go up
-        # once, H(x) stays on device, and its canonical digit array feeds
-        # the MSM digit decomposition directly — no python-int round trip
-        # between the FFT block and the MSMs (the dominant warm-proof cost
-        # in round 1).  The assignment vector likewise uploads once and
-        # serves the l/a/b_g1/b_g2 MSMs (with shared signed-digit planes).
+    if device_scalars:
+        # Device-resident pipeline: the assignment uploads ONCE as
+        # canonical int16 limbs; a/b/c evaluate on device as compiled
+        # sparse matrix-vector products over Fr (groth16.witness); H(x)
+        # stays on device and its canonical digit array feeds the MSM
+        # digit decomposition directly — no python-int round trip
+        # anywhere between synthesis and the MSMs.
         import numpy as np
 
         import jax.numpy as jnp
 
         from ..ops import field as Ff
 
-        def pack_canon(vals):
-            # canonical limbs via the vectorized bytes+numpy repack; the
-            # Montgomery scaling is fused into the H(x) executable
-            # (h_poly_dev_canon) instead of a host round trip per vector.
-            # int16 upload (limbs < 2^12): halves the host->device bytes
-            # through the tunnel; widened to int32 on device.
-            arr = Ff.batch_to_limbs(Ff.FR, vals, mont=False)
-            pad = m - arr.shape[0]
-            if pad:
-                arr = np.pad(arr, ((0, pad), (0, 0)))
-            return jnp.asarray(arr.astype(np.int16))
-
-        a_m, b_m, c_m = (pack_canon(v) for v in
-                         (prover.a, prover.b, prover.c))
         asg_arr = Ff.batch_to_limbs(Ff.FR, assignment, mont=False).astype(
             np.int16)
         asg_dev = jnp.asarray(asg_arr)
         aux_dev = asg_dev[n_in:]
         t0 = _t("pack/upload", t0)
+        if compiled is None or (
+                compiled.n_constraints != prover.n_constraints
+                or compiled.n_inputs != n_in
+                or compiled.n_vars != len(assignment)):
+            if not prover.term_rows:  # stale cached shape: resynthesize
+                prover = ProvingAssignment(p, record=True)
+                circuit.synthesize(prover)
+            compiled = witness.compile_structure(
+                prover.term_rows, prover.n_constraints, n_in,
+                len(assignment), p)
+            witness.put_structure(struct_key, compiled)
+            t0 = _t("compile r1cs", t0)
+        a_m, b_m, c_m = compiled.eval3(asg_dev, m)
+        t0 = _t("spmv (a,b,c)", t0)
         h_scal = domain.h_poly_dev_canon(a_m, b_m, c_m)
         t0 = _t("fft (h poly)", t0)
         # Dispatch all 5 MSMs before resolving any (the reference enqueues
@@ -165,7 +198,8 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         b2_all = p_b2()
         t0 = _t("msm b_g2", t0)
     else:
-        h_coeffs = domain.h_poly(prover.a, prover.b, prover.c)
+        a_v, b_v, c_v = prover.eval_abc()
+        h_coeffs = domain.h_poly(a_v, b_v, c_v)
         t0 = _t("fft (h poly)", t0)
 
         # The 8 MSMs (prover.rs:289-318) — dense bases, zero scalars
