@@ -23,8 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def get_params(args, e):
     from zcash_gpu_thesis_tpu.circuits.sapling import Output, Spend
-    from zcash_gpu_thesis_tpu.groth16 import generate_parameters
+    from zcash_gpu_thesis_tpu.groth16 import generate_parameters, witness
     from zcash_gpu_thesis_tpu.protocol import codecs
+
+    if args.params:
+        # compiled-R1CS structures persist next to the params files
+        witness.set_params_dir(args.params)
 
     rng = random.Random(0x5DBE6259)
 

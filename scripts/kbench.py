@@ -152,64 +152,18 @@ def main():
             MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
 
     if "noselect" in probes:
-        # madd accumulates into bucket 0 only (no one-hot gather/scatter):
-        # isolates the select cost (compare with kernel_only)
-        orig_kernel = MP._kernel
-
-        def kernel_nosel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref,
-                         wnp_ref, wp_ref, out_ref, bx, by, bz, *, f,
-                         k_inner, chunks, w_count, nb, steps, redc_mxu,
-                         **_kw):
-            import jax as _jax
-            from jax.experimental import pallas as _pl
-
-            g = _pl.program_id(0)
-            rows = f.nc * MP.FQ.n_limbs
-            P = chunks * w_count
-            f.tables = (wnp_ref[...], wp_ref[...]) if redc_mxu else None
-
-            @_pl.when(g == 0)
-            def _init():
-                one = f.one_rows(P)
-                bx[...] = jnp.zeros((nb, rows, P), jnp.int32)
-                by[...] = jnp.broadcast_to(one[None], (nb, rows, P))
-                bz[...] = jnp.zeros((nb, rows, P), jnp.int32)
-
-            expand = expand_ref[...]
-
-            def _body(t, carry):
-                x = xs_ref[0, t]
-                y = ys_ref[0, t]
-                sign = sign_ref[0, t]
-                xb = jnp.dot(x.astype(jnp.float32), expand,
-                             preferred_element_type=jnp.float32,
-                             precision=_jax.lax.Precision.HIGHEST
-                             ).astype(jnp.int32)
-                yb = jnp.dot(y.astype(jnp.float32), expand,
-                             preferred_element_type=jnp.float32,
-                             precision=_jax.lax.Precision.HIGHEST
-                             ).astype(jnp.int32)
-                yb = FT.select(sign != 0, f.neg(yb), yb)
-                nx, ny, nz = MP._madd_t(f, (bx[0], by[0], bz[0]), (xb, yb))
-                bx[0], by[0], bz[0] = nx, ny, nz
-                return carry
-
-            _jax.lax.fori_loop(0, k_inner, _body, 0)
-
-            @_pl.when(g == steps - 1)
-            def _emit():
-                out_ref[0] = bx[...]
-                out_ref[1] = by[...]
-                out_ref[2] = bz[...]
-
-        MP._kernel = kernel_nosel
+        # the REAL kernel with its probe hook: accumulate into bucket 0
+        # only (no one-hot gather/scatter) — isolates the select cost
+        # (compare with kernel_only).  No kernel-body fork: the hook
+        # lives inside msm_pallas._kernel itself.
+        MP.PROBE_MODE = "noselect"
         MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
         try:
             t = timeit(lambda: MP.bucket_accumulate(
                 cv.G1, aff, digits, C, CHUNKS, K_INNER))
             print(f"kernel_no_select: {t*1e3:.1f} ms")
         finally:
-            MP._kernel = orig_kernel
+            MP.PROBE_MODE = None
             MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
 
 

@@ -92,6 +92,40 @@ def test_sharded_ntt_matches_single(mesh8, inverse):
     assert (np.asarray(F.canon(F.FR, got)) == np.asarray(F.canon(F.FR, want))).all()
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+def test_sharded_ntt_mxu_matches_single(mesh8, inverse):
+    """The mesh MXU four-step (local fft_t_mxu passes + one all_to_all)
+    == the single-device transform, and == the butterfly mesh form."""
+    rng = random.Random(23)
+    n = 256
+    xs = [rng.randrange(R) for _ in range(n)]
+    a = jnp.asarray(F.batch_to_limbs(F.FR, xs))
+    tabs = pm.mesh_ntt_tables(n, 8, inverse=inverse)
+    got = pm.sharded_ntt_mxu(n, a, mesh8, tabs, inverse=inverse)
+    d = Domain(n)
+    want = d.ifft(a) if inverse else d.fft(a)
+    canon = lambda x: np.asarray(F.canon(F.FR, x))
+    assert (canon(got) == canon(want)).all()
+    bfly = pm.sharded_ntt(n, a, mesh8, inverse=inverse)
+    assert (canon(got) == canon(bfly)).all()
+
+
+def test_h_poly_sharded_mxu_matches_single(mesh8):
+    """Full mesh H(x) chain with MXU locals == the single-device
+    h_poly_dev digits (the production mesh-prover path)."""
+    from zcash_gpu_thesis_tpu.groth16.engine import _BlsDomain
+
+    rng = random.Random(24)
+    n = 256
+    d = _BlsDomain(n)
+    vecs = [[rng.randrange(R) for _ in range(n)] for _ in range(3)]
+    devs = [jnp.asarray(F.batch_to_limbs(F.FR, v)) for v in vecs]
+    want = np.asarray(d.h_poly_dev(*devs))
+    tabs = pm.h_poly_tables(n, mesh8)
+    got = np.asarray(pm.h_poly_sharded(n, *devs, mesh8, tabs=tabs))
+    assert (got == want).all()
+
+
 def test_engine_mesh_mode(mesh8, monkeypatch):
     """ZKTPU_MESH=N routes the production engine's device-scalar MSMs and
     the H(x) chain through the sharded paths; results must match the

@@ -234,14 +234,21 @@ class _BlsDomain:
         if mesh_n > 1:
             import jax
 
+            from ..config import ntt_impl
             from ..parallel import mesh as pm
 
             if self._jit_h_sharded is None:
                 mesh = BlsEngine._mesh(mesh_n)
+                # mesh NTT tables ride as jit ARGUMENTS (same ~38 MB
+                # payload constraint as the single-chip _mxu_tables)
+                self._mesh_tabs = (pm.h_poly_tables(self.n, mesh)
+                                   if ntt_impl() == "mxu" else None)
                 self._jit_h_sharded = jax.jit(
-                    lambda a, b, c: pm.h_poly_sharded(self.n, a, b, c, mesh)
+                    lambda a, b, c, tabs: pm.h_poly_sharded(
+                        self.n, a, b, c, mesh, tabs=tabs)
                 )
-            return self._jit_h_sharded(a_mont, b_mont, c_mont)
+            return self._jit_h_sharded(a_mont, b_mont, c_mont,
+                                       self._mesh_tabs)
         if self.d.impl == "mxu":
             return self._jit_h(a_mont, b_mont, c_mont,
                                self._mxu_tables(mont_in=True))
@@ -663,18 +670,19 @@ class BlsEngine:
             from ..oracle import curve as O2
 
             w_count = digits.shape[1]
-            k = auto_host_windows(group_name, w_count) if hw < 0 else hw
-            k = max(1, min(k, w_count - 1))
-            lo_w = w_count - k
-            # device: low windows only (on-device digit slice)
-            packed = MP.msm_device_proj(group, aff, digits[:, :lo_w], c,
-                                        *ck, slice_n=sl)
             # host: top-k windows via the native bucket worker, digit
             # plane rebuilt bit-identically from the host limb array
             # (gathered by the same compaction index, padded the same)
             key = (id(bases), from_ints.__name__, compact, quantum)
             stage = self._hybrid_stage(
                 group_name, bases, BlsEngine._base_cache[key][4])
+            k = (auto_host_windows(group_name, w_count, stage, c)
+                 if hw < 0 else hw)
+            k = max(1, min(k, w_count - 1))
+            lo_w = w_count - k
+            # device: low windows only (on-device digit slice)
+            packed = MP.msm_device_proj(group, aff, digits[:, :lo_w], c,
+                                        *ck, slice_n=sl)
 
             result = {}
 

@@ -289,7 +289,13 @@ def compile_structure(term_rows, n_constraints: int, n_inputs: int,
         r0 = rows[::S].astype(np.int32).copy()
         span = int(max(rows[k * S + S - 1] - rows[k * S] + 1
                        for k in range(C)))
-        span = max(span, 1)
+        # Quantize span so the a/b/c matrices (and similar circuits)
+        # share ONE compiled evaluator: gather lowering dominates the
+        # XLA:TPU compile here (~minutes per distinct shape on the
+        # remote-compile path).  Padded end entries repeat cs[S] and
+        # contribute exactly zero.
+        q = 8192 if span > 4096 else 256
+        span = max(-(-span // q) * q, 1)
         end = np.empty((C, span), np.int32)
         for k in range(C):
             rel = rows[k * S:(k + 1) * S] - rows[k * S]

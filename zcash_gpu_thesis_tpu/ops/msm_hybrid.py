@@ -31,20 +31,53 @@ import threading
 
 import jax.numpy as jnp
 
-# measured per-window wall times on the scored config (v5e + 4-core host),
-# used by auto_host_windows to balance the split; linear in n on both
-# sides, so the ratio is size-independent.  g1 host includes the ~20%
-# contention with the device-dispatch python thread (sweep: k=4 beat
-# k=5/6 at 131k — 0.213 s vs 0.219 / 0.319)
-_HOST_MS_PER_WINDOW_131K = {"g1": 45.0, "g2": 150.0}
+# Device per-window wall time at 131k points: a property of the v5e
+# bucket kernel (measured once; linear in n on both sides, so only the
+# host/device RATIO matters and it is size-independent).
 _DEV_MS_PER_WINDOW_131K = {"g1": 5.0, "g2": 20.0}
+# Fallback host rates for stage-less callers (the 4-core dev box, incl
+# ~20% contention with the device-dispatch thread); with a stage in hand
+# the rate is MEASURED on the running host instead (auto_host_windows).
+_FALLBACK_HOST_MS_131K = {"g1": 45.0, "g2": 150.0}
+
+_host_rate_ms: dict = {}  # group_name -> measured ms/window @ 131k scale
 
 
-def auto_host_windows(group_name: str, w_count: int) -> int:
-    """Balanced top-window count: k such that host k windows finish with
-    the device's (W - k)."""
-    h = _HOST_MS_PER_WINDOW_131K[group_name]
+def _measure_host_rate(stage, group_name: str, c: int) -> float:
+    """Wall time per window of the native bucket worker ON THIS HOST,
+    measured over min(cores, 4) windows of synthetic digits so the pool's
+    real (contended) parallel rate is captured, normalized to 131k
+    points.  Cached per group for the process lifetime."""
+    hit = _host_rate_ms.get(group_name)
+    if hit is not None:
+        return hit
+    import os
+    import time
+
+    import numpy as np
+
+    nwin = max(1, min(os.cpu_count() or 4, 4))
+    rng = np.random.default_rng(0x5DBE6259)
+    hi = 1 << (c - 1)
+    dg = rng.integers(-hi + 1, hi, size=(stage.n, nwin)).astype(np.int8)
+    t0 = time.perf_counter()
+    stage.window_sums(dg, 0, nwin, c)
+    dt = (time.perf_counter() - t0) * 1e3 / nwin * (131072 / max(stage.n, 1))
+    _host_rate_ms[group_name] = dt
+    return dt
+
+
+def auto_host_windows(group_name: str, w_count: int, stage=None,
+                      c: int = 6) -> int:
+    """Balanced top-window count: k such that the host's k windows finish
+    with the device's (W - k).  With a staged native worker the host rate
+    is measured on the running host (first call per group pays one
+    ~4-window probe); otherwise the recorded dev-box fallback is used."""
     d = _DEV_MS_PER_WINDOW_131K[group_name]
+    if stage is not None:
+        h = _measure_host_rate(stage, group_name, c)
+    else:
+        h = _FALLBACK_HOST_MS_131K[group_name]
     return max(1, round(w_count * d / (d + h)))
 
 
@@ -124,8 +157,10 @@ def msm_hybrid(group, group_name, bases, aff, digits, c, chunks, k_inner,
 
     digits_np = np.asarray(digits)
     w_count = digits_np.shape[1]
+    if stage is None and NV.available():
+        stage = make_stage(bases, group_name)
     if host_windows < 0:
-        host_windows = auto_host_windows(group_name, w_count)
+        host_windows = auto_host_windows(group_name, w_count, stage, c)
     host_windows = max(0, min(host_windows, w_count - 1))
     lo_w = w_count - host_windows
     if digits_dev is None:
@@ -133,9 +168,6 @@ def msm_hybrid(group, group_name, bases, aff, digits, c, chunks, k_inner,
     if host_windows == 0:
         return MP.msm_host_pallas_fused(group, aff, digits_dev,
                                         c, chunks, k_inner, slice_n=slice_n)
-
-    if stage is None and NV.available():
-        stage = make_stage(bases, group_name)
 
     result = {}
 

@@ -259,6 +259,14 @@ def _pdbl_t(f, p):
     return (x3, y3, z3)
 
 
+# Micro-bench probe hook (scripts/kbench.py): "noselect" replaces the
+# one-hot bucket gather/scatter with bucket-0 accumulation (wrong math,
+# isolates the select cost) INSIDE the real kernel — probes must never
+# fork the kernel body or they silently drift.  Callers set it and clear
+# the bucket_state/bucket_accumulate jit caches; production leaves None.
+PROBE_MODE = None
+
+
 def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, wnp_ref,
             wp_ref, *rest, f, k_inner, chunks, w_count,
             nb, steps, redc_mxu, has_init):
@@ -318,6 +326,11 @@ def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, wnp_ref,
         xb = bcast(x)
         yb = bcast(y)
         yb = FT.select(sign != 0, f.neg(yb), yb)
+
+        if PROBE_MODE == "noselect":  # kbench: select cost isolated out
+            nx, ny, nz = _madd_t(f, (bx[0], by[0], bz[0]), (xb, yb))
+            bx[0], by[0], bz[0] = nx, ny, nz
+            return carry
 
         # one-hot bucket gather/scatter: mask against a bucket-id iota and
         # reduce/select over the whole [nb, rows, P] state in single

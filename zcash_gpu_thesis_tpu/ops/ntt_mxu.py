@@ -200,12 +200,15 @@ def make_mats(n: int, omega_int: int, rmax: int = 64,
     return tuple(mats)
 
 
-def make_twiddles(n: int, omega_int: int, rmax: int = 64):
+def make_twiddles(n: int, omega_int: int, rmax: int = 64,
+                  batch: int = 1):
     """Eager per-domain twiddle tables: one [r, L, >=rest] int16 device
     array per pass that has one (rest > 1; limbs < 2^12 so int16 is
     lossless — the pass-0 table at 2^23 is data-sized, 805 MB in int32).
     Pass to fft_t_mxu as an argument — rebuilding them inside the traced
-    transform costs a full pointwise sweep per pass (~40 ms at 2^20)."""
+    transform costs a full pointwise sweep per pass (~40 ms at 2^20).
+    ``batch`` must match the fft_t_mxu call (it widens the pre-tiled
+    narrow tables to the kernel block width)."""
     radices = radix_list(n, rmax)
     tws = []
     done = 1
@@ -219,7 +222,7 @@ def make_twiddles(n: int, omega_int: int, rmax: int = 64):
         rest = rest_total // r
         if rest > 1:
             tws.append(build(pow(omega_int, done, FR_MOD), r, rest,
-                             done))
+                             batch * done))
         done *= r
         rest_total = rest
     return tuple(tws)
@@ -353,7 +356,7 @@ def _use_pallas() -> bool:
 
 def fft_t_mxu(x, omega_int: int, n: int, tws=None, rmax: int = 64,
               col_scale: int = 1, row_scale: int = 1,
-              const_scale: int = 1, mats=None):
+              const_scale: int = 1, mats=None, batch: int = 1):
     """[L, n] Montgomery limbs -> [L, n] NTT (natural order in and out).
 
     Equivalent to (with s=col_scale, u=row_scale, c=const_scale):
@@ -367,18 +370,26 @@ def fft_t_mxu(x, omega_int: int, n: int, tws=None, rmax: int = 64,
     done axis, so after the last pass the flat index is
     k_{P-1}*(n/r_{P-1}) + ... + k_0 — the natural DFT index; no
     bit-reversal gather, no unscramble transpose.
+
+    With ``batch > 1``, x is [L, batch * n] holding `batch` independent
+    length-n transforms BATCH-MAJOR; the output is BATCH-MINOR
+    [L, n * batch] (each pass pushes its digit axis major of the
+    accumulated done axis, and the batch axis starts as that axis).  The
+    batch rides the done axis, so twiddle tiling and the pass tails are
+    untouched — this is what the mesh four-step NTT's local column/row
+    transforms use (parallel.mesh.sharded_ntt_mxu).
     """
-    assert x.shape == (L, n), x.shape
+    assert x.shape == (L, batch * n), (x.shape, batch, n)
     radices = radix_list(n, rmax)
     tables = tuple(jnp.asarray(t) for t in FT.redc_tables(FR))
 
-    x = x.reshape(L, 1, n)  # [L, done, rest_total]
-    done = 1
+    x = x.reshape(L, batch, n)  # [L, layout_done, rest_total]
+    done = 1  # transform-internal digit product (roots/scales use this)
     rest_total = n
     tw_i = 0
     for p, r in enumerate(radices):
         rest = rest_total // r
-        a = x.reshape(L, done, r, rest)
+        a = x.reshape(L, batch * done, r, rest)
         if mats is not None:
             mat = mats[p]
         else:
@@ -394,7 +405,7 @@ def fft_t_mxu(x, omega_int: int, n: int, tws=None, rmax: int = 64,
                 tw_i += 1
             else:
                 tw = _tw_form(_twiddle(pow(omega_int, done, FR_MOD),
-                                       r, rest), done, rest)
+                                       r, rest), batch * done, rest)
         else:
             tw = None
 
@@ -409,13 +420,14 @@ def fft_t_mxu(x, omega_int: int, n: int, tws=None, rmax: int = 64,
         # chunks (done-axis when it is wide, else the rest-axis with the
         # twiddle sliced alike); chunk boundaries are contiguous column
         # slices of the [r, L, cols] output
-        cols = done * rest
+        ldone = batch * done  # layout width of the done axis
+        cols = ldone * rest
         if cols > _CHUNK_COLS:
             outs = []
-            if done > 1:
+            if ldone > 1:
                 step = max(1, _CHUNK_COLS // rest)
-                for s in range(0, done, step):
-                    e = min(s + step, done)
+                for s in range(0, ldone, step):
+                    e = min(s + step, ldone)
                     outs.append(run(a[:, s:e], tw, e - s, rest))
             else:
                 step = _CHUNK_COLS
@@ -425,12 +437,12 @@ def fft_t_mxu(x, omega_int: int, n: int, tws=None, rmax: int = 64,
                     outs.append(run(a[:, :, :, s:e], tw_sl, 1, e - s))
             out = jnp.concatenate(outs, axis=2)
         else:
-            out = run(a, tw, done, rest)
+            out = run(a, tw, ldone, rest)
         # out [r, L, cols]: bring limbs leading; k_p lands MAJOR of done
-        x = jnp.transpose(out, (1, 0, 2)).reshape(L, r * done, rest)
+        x = jnp.transpose(out, (1, 0, 2)).reshape(L, r * ldone, rest)
         done *= r
         rest_total = rest
-    return x.reshape(L, n)
+    return x.reshape(L, n * batch)
 
 
 # ---------------------------------------------------------------------------

@@ -203,12 +203,28 @@ def sharded_msm_host(group: Group, points, digits, mesh: Mesh, c: int = 4,
     return acc
 
 
-def h_poly_sharded(n: int, a, b, c, mesh: Mesh, axis: str = "data"):
+def h_poly_tables(n: int, mesh: Mesh, axis: str = "data"):
+    """Forward+inverse mesh NTT tables for :func:`h_poly_sharded`'s MXU
+    path — build once per (domain, mesh), pass into the jitted chain as
+    arguments."""
+    ndev = _axis_size(mesh, axis)
+    return {
+        "fwd": mesh_ntt_tables(n, ndev, inverse=False),
+        "inv": mesh_ntt_tables(n, ndev, inverse=True),
+    }
+
+
+def h_poly_sharded(n: int, a, b, c, mesh: Mesh, axis: str = "data",
+                   tabs=None):
     """The prover's full H(x) block (prover.rs:256-283) with every NTT as
     a four-step mesh-distributed transform: 3x(iNTT + coset NTT), a*b - c,
     divide-by-Z on the coset, inverse coset NTT.  Elementwise stages are
     plain jnp ops (XLA propagates the sharding); the cross-chip transpose
-    inside sharded_ntt rides all_to_all over ICI.
+    inside the sharded NTT rides all_to_all over ICI.
+
+    With ``tabs`` (from :func:`h_poly_tables`) the transforms run as the
+    MXU matmul NTT (sharded_ntt_mxu — the mesh form of the single-chip
+    default); without, the radix-2 butterfly locals (round-1 form).
 
     In/out: Montgomery [n, L] arrays; output is *canonical standard-form*
     digits with the dropped top coefficient zeroed, matching
@@ -220,11 +236,15 @@ def h_poly_sharded(n: int, a, b, c, mesh: Mesh, axis: str = "data"):
     gen_inv = modinv(FR_GENERATOR, R)
 
     def ifft(x):
-        out = sharded_ntt(n, x, mesh, inverse=True, axis=axis)
-        return out
+        if tabs is not None:
+            return sharded_ntt_mxu(n, x, mesh, tabs["inv"], inverse=True,
+                                   axis=axis)
+        return sharded_ntt(n, x, mesh, inverse=True, axis=axis)
 
     def coset_fft(x):
         x = F.mont_mul(FRs, x, N2.powers(FR_GENERATOR, n))
+        if tabs is not None:
+            return sharded_ntt_mxu(n, x, mesh, tabs["fwd"], axis=axis)
         return sharded_ntt(n, x, mesh, axis=axis)
 
     av = coset_fft(ifft(a))
@@ -234,14 +254,122 @@ def h_poly_sharded(n: int, a, b, c, mesh: Mesh, axis: str = "data"):
     ab = F.sub(FRs, ab, cv_)
     z_inv = modinv((pow(FR_GENERATOR, n, R) - 1) % R, R)
     ab = F.mont_mul(FRs, ab, F.mont_const(FRs, z_inv, (1,)))
-    h = sharded_ntt(n, ab, mesh, inverse=True, axis=axis)
+    h = ifft(ab)
     h = F.mont_mul(FRs, h, N2.powers(gen_inv, n))
     h = F.from_mont(FRs, h)
     return h.at[-1].set(0)
 
 
 # ---------------------------------------------------------------------------
-# Distributed four-step NTT.
+# Distributed four-step MXU NTT.
+# ---------------------------------------------------------------------------
+
+
+def mesh_ntt_factors(n: int, ndev: int):
+    """n = n1 * n2 with ndev dividing both (n1 is the all_to_all split
+    axis, n2 the sharded input axis)."""
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    assert n2 % ndev == 0 and n1 % ndev == 0, "mesh must divide both factors"
+    return n1, n2
+
+
+def mesh_ntt_tables(n: int, ndev: int, inverse: bool = False):
+    """Device DFT-matrix + twiddle tables for one mesh transform
+    direction, built on host and passed into the jitted transform as
+    ARGUMENTS (the matrices are ~38 MB each — embedding them as jit
+    constants blows the remote-compile payload, same constraint as
+    engine._mxu_tables)."""
+    from ..ops import ntt_mxu as NM
+
+    n1, n2 = mesh_ntt_factors(n, ndev)
+    d = N.Domain(n)
+    omega = d.omega_inv if inverse else d.omega
+    omega1 = pow(omega, n2, R)
+    omega2 = pow(omega, n1, R)
+    loc2 = n2 // ndev  # local columns in stage 1
+    loc1 = n1 // ndev  # local rows in stage 2
+    return {
+        "mats1": NM.make_mats(n1, omega1),
+        "tws1": NM.make_twiddles(n1, omega1, batch=loc2),
+        "mats2": NM.make_mats(n2, omega2),
+        "tws2": NM.make_twiddles(n2, omega2, batch=loc1),
+    }
+
+
+def sharded_ntt_mxu(n: int, a, mesh: Mesh, tabs, inverse: bool = False,
+                    axis: str = "data"):
+    """Four-step NTT over the mesh with the local transforms as MXU
+    matmul passes (ops.ntt_mxu.fft_t_mxu batched along the untouched
+    factor) — the mesh form of the single-chip MXU transform, replacing
+    the round-1 radix-2 butterfly locals.
+
+    Same contract as :func:`sharded_ntt`: [n, L] Montgomery limbs in
+    natural order -> NTT in natural order, ONE all_to_all per transform
+    (the reference's parallel_fft twiddle recombination,
+    domain.rs:317-374, as a cross-chip transpose).  ``tabs`` from
+    :func:`mesh_ntt_tables` (matching ``inverse``).
+    """
+    ndev = _axis_size(mesh, axis)
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    n1, n2 = mesh_ntt_factors(n, ndev)
+    from ..ops import ntt_mxu as NM
+
+    d = N.Domain(n)
+    omega = d.omega_inv if inverse else d.omega
+    omega1 = pow(omega, n2, R)
+    omega2 = pow(omega, n1, R)
+    L = FR.n_limbs
+    K = 1 << ((log_n + 1) // 2)
+    pw_lo = N.powers(omega, K)                  # omega^i, i < K
+    pw_hi = N.powers(pow(omega, K, R), n // K + 1)
+
+    def local(a_blk, mats1, tws1, mats2, tws2):
+        # a_blk: [n1, loc, L] — columns j2 in [dev*loc : (dev+1)*loc]
+        loc = a_blk.shape[1]
+        dev = jax.lax.axis_index(axis)
+        # 1) local length-n1 column FFTs on the MXU, batch = loc columns
+        # (batch-major in, batch-minor out: [L, k1, loc])
+        x1 = jnp.transpose(a_blk, (2, 1, 0)).reshape(L, loc * n1)
+        y = NM.fft_t_mxu(x1, omega1, n1, tws=tws1, mats=mats1,
+                         batch=loc).reshape(L, n1, loc)
+        # 2) twiddle omega^(k1 * j2_global) via exponent splitting
+        k1 = jax.lax.broadcasted_iota(jnp.int32, (n1, loc), 0)
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (n1, loc), 1) + dev * loc
+        e = (k1 * j2) % n
+        tw = F.mont_mul(FR, jnp.take(pw_lo, e % K, axis=0),
+                        jnp.take(pw_hi, e // K, axis=0))  # [n1, loc, L]
+        y = F.mont_mul(FR, jnp.transpose(y, (1, 2, 0)), tw)  # [n1, loc, L]
+        # 3) cross-chip transpose: keep n1/ndev rows of k1, gather all j2
+        y = jax.lax.all_to_all(y, axis, 0, 1, tiled=True)  # [n1loc, n2, L]
+        # 4) local length-n2 row FFTs, batch = n1loc rows
+        loc1 = y.shape[0]
+        x2 = jnp.transpose(y, (2, 0, 1)).reshape(L, loc1 * n2)
+        z = NM.fft_t_mxu(x2, omega2, n2, tws=tws2, mats=mats2,
+                         batch=loc1).reshape(L, n2, loc1)
+        return jnp.transpose(z, (2, 1, 0))  # [n1loc, n2, L] = [k1, k2, L]
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+        check_rep=False,
+    )
+    out = fn(a.reshape(n1, n2, L), tabs["mats1"], tabs["tws1"],
+             tabs["mats2"], tabs["tws2"])
+    # X[k1 + n1*k2] = out[k1, k2] -> natural order via transpose-reshape
+    out = jnp.swapaxes(out, 0, 1).reshape(n, L)
+    if inverse:
+        out = F.mont_mul(FR, out, F.mont_const(FR, modinv(n, R), (1,)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed four-step NTT (radix-2 butterfly locals — the round-1 form,
+# kept as the CPU-friendly reference implementation of the same
+# decomposition; sharded_ntt_mxu above is the production path).
 # ---------------------------------------------------------------------------
 
 
