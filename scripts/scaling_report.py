@@ -60,6 +60,72 @@ def collective_audit(fn, *args):
     }
 
 
+def replay():
+    """At-size mesh-prover evidence: the full Sapling Spend 2^17 H(x)
+    chain through the 8-device mesh (MXU four-step locals, all_to_all
+    transposes) bit-exact vs the single-device MXU chain, plus the
+    engine's sharded MSM at the replay's b_g1 shape.  This is the
+    prover-replay correctness run VERDICT r3 asked for — wall-clock on a
+    virtual mesh is meaningless and not printed."""
+    rng_np = np.random.default_rng(0x5DBE6259)
+    from zcash_gpu_thesis_tpu.groth16.engine import _BlsDomain
+
+    m = 1 << 17
+    d = _BlsDomain(m)
+
+    def rand_mont(n):
+        limbs = rng_np.integers(0, 4096, size=(n, 24), dtype=np.int32)
+        limbs[:, 21:] = 0
+        return jnp.asarray(limbs)
+
+    a, b, c = rand_mont(m), rand_mont(m), rand_mont(m)
+    print("# at-size mesh prover replay (Sapling Spend shapes)")
+    want = np.asarray(d.h_poly_dev(a, b, c))
+    mesh = pm.default_mesh(8)
+    tabs = pm.h_poly_tables(m, mesh)
+    got = np.asarray(jax.jit(
+        lambda a, b, c, t: pm.h_poly_sharded(m, a, b, c, mesh, tabs=t)
+    )(a, b, c, tabs))
+    print(f"| h_poly 2^17 mesh(8, mxu) == single-device | "
+          f"{bool((got == want).all())} |")
+
+    # sharded MSM at the replay b_g1 size (61,300 -> 2^16 pad), xla
+    # window-sum impl (the pallas kernel is TPU-real-hardware territory;
+    # interpret mode at this size is not runnable)
+    n = 1 << 16
+    rng = random.Random(7)
+    base = O.random_g1_points(rng, 8)
+    pts = [base[i % 8] for i in range(n)]
+    scalars = [rng.randrange(O.R) for _ in range(n)]
+    aff = cv.g1_affine_from_ints(pts)
+    digits = jnp.asarray(M.recode_signed(M.digits_from_ints(scalars, 4),
+                                         4))
+    got_p = pm.sharded_msm_host(G1, aff, digits, mesh, c=4, chunks=4,
+                                k_inner=2, signed=True)
+    want_p = None
+    for j in range(8):
+        s = sum(scalars[j::8]) % O.R
+        want_p = O.g1_add(want_p, O.g1_mul(base[j], s))
+    print(f"| sharded MSM 2^16 mesh(8) == oracle | {got_p == want_p} |")
+
+
+def audit_mxu_ntt():
+    """HLO collective audit of the MXU mesh NTT: exactly one all-to-all
+    per transform."""
+    n = 1 << 12
+    rng = random.Random(5)
+    coeffs = jnp.asarray(F.batch_to_limbs(
+        F.FR, [rng.randrange(F.FR.modulus) for _ in range(n)]))
+    mesh = pm.default_mesh(8)
+    tabs = pm.mesh_ntt_tables(n, 8)
+    fn = lambda x, t: pm.sharded_ntt_mxu(n, x, mesh, t)
+    audit = collective_audit(fn, coeffs, tabs)
+    got = np.asarray(F.canon(F.FR, fn(coeffs, tabs)))
+    want = np.asarray(F.canon(F.FR, Domain(n).fft(coeffs)))
+    print(f"| MXU mesh NTT 2^12 == 1-dev | {bool((got == want).all())} | "
+          + ", ".join(f"{k}:{v}" for k, v in audit.items() if v) + " |")
+
+
 def main():
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     n = 1 << log_n
@@ -112,4 +178,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--replay" in sys.argv:
+        replay()
+    elif "--audit-mxu" in sys.argv:
+        audit_mxu_ntt()
+    else:
+        main()

@@ -126,6 +126,69 @@ def test_h_poly_sharded_mxu_matches_single(mesh8):
     assert (got == want).all()
 
 
+def test_sharded_msm_packed_matches_oracle():
+    """Per-shard full device pipeline (packed point out) + host combine
+    == oracle; the first-class mesh MSM form (slice chaining included
+    via msm_device_proj).  Tiny shapes / 2-device mesh: interpret-mode
+    pallas inside shard_map is trace-and-execute heavy."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = random.Random(41)
+    n, c = 32, 4
+    mesh2 = pm.default_mesh(2)
+    base = O.random_g1_points(rng, 4)
+    pts = [base[i % 4] for i in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    aff = cv.g1_affine_from_ints(pts)
+    digits = jnp.asarray(
+        M.recode_signed(M.digits_from_ints(scalars, c), c))
+    with pltpu.force_tpu_interpret_mode():
+        parts = pm.sharded_msm_packed(G1, aff, digits, mesh2, c,
+                                      chunks=2, k_inner=2)
+        got = pm.packed_parts_to_int(G1, np.asarray(parts), "g1")
+    want = None
+    for p, s in zip(pts, scalars):
+        want = O.g1_add(want, O.g1_mul(p, s))
+    assert got == want
+
+
+def test_engine_mesh_async_hybrid(monkeypatch):
+    """The prover-facing async MSM under ZKTPU_MESH: sharded device sweep
+    + native host top-windows must equal the single-device result."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zcash_gpu_thesis_tpu import native as NV
+    from zcash_gpu_thesis_tpu.groth16.engine import BlsEngine
+    from zcash_gpu_thesis_tpu.ops import field as F2
+
+    if not NV.available():
+        pytest.skip("native library not built")
+    rng = random.Random(42)
+    e = BlsEngine()
+    n = 32
+    base = O.random_g1_points(rng, 4)
+    bases = [base[i % 4] for i in range(n)]
+    scal_ints = [rng.randrange(R) for _ in range(n)]
+    scal_dev = jnp.asarray(F2.batch_to_limbs(F2.FR, scal_ints,
+                                             mont=False))
+    limbs = F2.batch_to_limbs(F2.FR, scal_ints, mont=False)
+    want = None
+    for p, s in zip(bases, scal_ints):
+        want = O.g1_add(want, O.g1_mul(p, s))
+
+    monkeypatch.setenv("ZKTPU_MSM_IMPL", "pallas")
+    monkeypatch.setenv("ZKTPU_MSM_C", "4")
+    monkeypatch.setenv("ZKTPU_MESH", "2")
+    monkeypatch.setenv("ZKTPU_MSM_HYBRID_WINDOWS", "2")
+    BlsEngine.clear_base_cache()
+    BlsEngine._digits_cache.clear()
+    BlsEngine._stage_cache.clear()
+    with pltpu.force_tpu_interpret_mode():
+        resolve = e.msm_g1_async(bases, scal_dev, host_limbs=limbs)
+        got = resolve()
+    assert got == want
+
+
 def test_engine_mesh_mode(mesh8, monkeypatch):
     """ZKTPU_MESH=N routes the production engine's device-scalar MSMs and
     the H(x) chain through the sharded paths; results must match the

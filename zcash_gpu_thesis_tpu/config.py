@@ -160,3 +160,11 @@ def g2_pad_floor() -> int:
     ZKTPU_G2_PAD_FLOOR overrides (set 1 to disable).
     """
     return int(os.environ.get("ZKTPU_G2_PAD_FLOOR", str(1 << 16)))
+
+def fq2_schoolbook() -> bool:
+    """Fq2 single-product strategy in the G2 bucket kernel
+    (ZKTPU_FQ2_MUL=schoolbook|karatsuba): schoolbook = 4 products with
+    one shared REDC per component (mont_mul_acc), karatsuba = 3 products
+    with 3 REDCs.  Default schoolbook (measured faster on v5e where the
+    REDC const-convs ride the MXU)."""
+    return os.environ.get("ZKTPU_FQ2_MUL", "schoolbook") != "karatsuba"

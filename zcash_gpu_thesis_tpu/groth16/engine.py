@@ -590,6 +590,12 @@ class BlsEngine:
 
             mesh = self._mesh(mesh_n)
             cfg = msm_config()
+            if impl == "pallas":
+                sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+                parts = pm.sharded_msm_packed(
+                    group, aff, digits, mesh, c,
+                    max(cfg.chunks // mesh_n, 1), cfg.k_inner, slice_n=sl)
+                return pm.packed_parts_to_int(group, parts, group_name)
             return pm.sharded_msm_host(
                 group, aff, digits, mesh, c,
                 max(cfg.chunks // mesh_n, 1), cfg.k_inner,
@@ -630,7 +636,7 @@ class BlsEngine:
 
         impl = (msm_config().impl if group_name == "g1" else g2_msm_impl())
         mesh_n = mesh_devices()
-        if impl != "pallas" or mesh_n > 1:
+        if impl != "pallas":
             out = self._msm_dev(group_name, bases, scal_dev)
             return lambda: out
 
@@ -652,6 +658,26 @@ class BlsEngine:
         digits = self._digits_for(scal_dev, n_pad, c, nz_idx=nz_idx)
         ck = (16, 8) if group_name == "g1" else g2_pallas_params()
         sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+        mesh = (self._mesh(mesh_n)
+                if mesh_n > 1 and n_pad % mesh_n == 0 else None)
+
+        def dev_sweep(dig):
+            """Dispatch the device sweep of `dig`'s windows; returns a
+            zero-arg resolver -> python-int affine.  Mesh mode shards the
+            point axis and runs the full per-shard pipeline (slice
+            chaining included) — the hybrid split composes identically on
+            top of either form."""
+            if mesh is not None:
+                from ..parallel import mesh as pm
+
+                parts = pm.sharded_msm_packed(
+                    group, aff, dig, mesh, c,
+                    max(ck[0] // mesh_n, 1), ck[1], slice_n=sl)
+                return lambda: pm.packed_parts_to_int(group, parts,
+                                                      group_name)
+            packed = MP.msm_device_proj(group, aff, dig, c, *ck,
+                                        slice_n=sl)
+            return lambda: MP.packed_to_int_point(group, packed)
 
         hw = 0
         if host_limbs is not None:
@@ -681,8 +707,7 @@ class BlsEngine:
             k = max(1, min(k, w_count - 1))
             lo_w = w_count - k
             # device: low windows only (on-device digit slice)
-            packed = MP.msm_device_proj(group, aff, digits[:, :lo_w], c,
-                                        *ck, slice_n=sl)
+            resolve_dev = dev_sweep(digits[:, :lo_w])
 
             result = {}
 
@@ -709,7 +734,7 @@ class BlsEngine:
             th.start()
 
             def resolve_hybrid():
-                dev = MP.packed_to_int_point(group, packed)
+                dev = resolve_dev()
                 th.join()
                 add = O2.g2_add if group_name == "g2" else O2.g1_add
                 mul = self.g2_mul if group_name == "g2" else self.g1_mul
@@ -720,12 +745,7 @@ class BlsEngine:
 
             return resolve_hybrid
 
-        packed = MP.msm_device_proj(group, aff, digits, c, *ck, slice_n=sl)
-
-        def resolve():
-            return MP.packed_to_int_point(group, packed)
-
-        return resolve
+        return dev_sweep(digits)
 
     def msm_g1_async(self, bases, scal_dev, host_limbs=None):
         return self._msm_dev_async("g1", bases, scal_dev, host_limbs)

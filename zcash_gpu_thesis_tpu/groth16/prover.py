@@ -116,7 +116,19 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
             struct_key = f"{engine.name}-{sk()}"
             compiled = witness.get_structure(struct_key)
     prover = ProvingAssignment(p, record=compiled is None)
-    circuit.synthesize(prover)
+    # Pause the cycle collector for the gadget walk: synthesis allocates
+    # millions of short-lived tuples/LCs and gc passes are a measurable
+    # slice of the wall time (the reference's synthesis is compiled Rust,
+    # prover.rs:226 — python bookkeeping is our only remaining host cost).
+    import gc
+
+    gc_was = gc.isenabled()
+    gc.disable()
+    try:
+        circuit.synthesize(prover)
+    finally:
+        if gc_was:
+            gc.enable()
     t0 = _t("synthesis", t0)
 
     vk = params.vk

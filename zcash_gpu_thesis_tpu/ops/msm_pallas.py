@@ -137,6 +137,16 @@ class _Ft2:
         sp = self.spec
         a0, a1 = self._s(a)
         b0, b1 = self._s(b)
+        if _fq2_schoolbook():
+            # 4-product schoolbook with ONE shared REDC per component
+            # (same shape as mul_pair): 4 variable convs + 2 REDCs vs
+            # Karatsuba's 3 convs + 3 REDCs + extra add/sub traffic —
+            # with the REDC const-convs on the MXU the reduction is the
+            # cheap half, so fewer REDCs/ripples wins on the VMEM kernel.
+            na1 = FT.neg(sp, a1)
+            real = FT.mont_mul_acc(sp, [(a0, b0), (na1, b1)], self.tables)
+            imag = FT.mont_mul_acc(sp, [(a0, b1), (a1, b0)], self.tables)
+            return self._j(real, imag)
         t0 = FT.mont_mul(sp, a0, b0, self.tables)
         t1 = FT.mont_mul(sp, a1, b1, self.tables)
         t2 = FT.mont_mul(
@@ -182,6 +192,12 @@ class _Ft2:
             axis=0,
         )
         return self._j(one, jnp.zeros_like(one))
+
+
+def _fq2_schoolbook() -> bool:
+    from ..config import fq2_schoolbook
+
+    return fq2_schoolbook()
 
 
 def _adapter(group: Group):

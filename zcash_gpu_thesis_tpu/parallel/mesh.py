@@ -203,6 +203,49 @@ def sharded_msm_host(group: Group, points, digits, mesh: Mesh, c: int = 4,
     return acc
 
 
+def sharded_msm_packed(group: Group, points, digits, mesh: Mesh,
+                       c: int = 6, chunks: int = 16, k_inner: int = 8,
+                       axis: str = "data", slice_n: int = 1 << 20):
+    """Point-sharded MSM where every shard runs the COMPLETE device
+    pipeline — sliced bucket-state chaining above ``slice_n`` plus the
+    in-VMEM suffix/fold/ladder combine — and emits one packed projective
+    point; the cross-shard combine is ndev tiny host additions.
+
+    MSM is linear in the point stream, so per-shard full combines are
+    exact; vs the [W]-window all-gather form (sharded_msm_host) this
+    moves ndev x ~200 bytes instead of ndev x W points and reuses the
+    single-chip slice chaining unchanged — mesh mode stops being a
+    second-class path.  Returns the [ndev, ...] packed array,
+    device-resident (async); resolve with :func:`packed_parts_to_int`.
+    """
+    from ..ops import msm_pallas as MP
+
+    def local(pts, digs):
+        packed = MP.msm_device_proj(group, pts, digs, c, chunks, k_inner,
+                                    slice_n)
+        return packed[None]
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis), points), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return fn(points, digits)
+
+
+def packed_parts_to_int(group: Group, parts, group_name: str):
+    """[ndev, ...] packed shard results -> python-int affine total."""
+    from ..ops import msm_pallas as MP
+    from ..oracle import curve as O
+
+    add = O.g2_add if group_name == "g2" else O.g1_add
+    total = None
+    for i in range(parts.shape[0]):
+        total = add(total, MP.packed_to_int_point(group, parts[i]))
+    return total
+
+
 def h_poly_tables(n: int, mesh: Mesh, axis: str = "data"):
     """Forward+inverse mesh NTT tables for :func:`h_poly_sharded`'s MXU
     path — build once per (domain, mesh), pass into the jitted chain as
