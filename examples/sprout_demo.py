@@ -64,6 +64,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--params", help="directory to cache CRS")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="prove N times; later proofs are the WARM "
+                    "numbers (cached CRS device form, compiled R1CS, "
+                    "compiled executables)")
     args = ap.parse_args()
 
     import jax
@@ -107,18 +111,23 @@ def main():
     out_value = [60_000, 40_000]
     vpub_old, vpub_new = sum(out_value), 0
 
-    t0 = time.time()
-    proof = A.librustzcash_sprout_prove(
-        params, phi, rt, h_sig,
-        in_sk[0], 0, in_rho[0], in_r[0], auth,
-        in_sk[1], 0, in_rho[1], in_r[1], auth,
-        out_pk[0], out_value[0], out_r[0],
-        out_pk[1], out_value[1], out_r[1],
-        vpub_old, vpub_new, rng=rng,
-    )
-    t_prove = time.time() - t0
-    print(f"sprout: proof created in {t_prove:.1f}s "
-          f"({len(proof)} bytes)")
+    from zcash_gpu_thesis_tpu.groth16 import prover as P2
+
+    for it in range(max(args.repeat, 1)):
+        t0 = time.time()
+        proof = A.librustzcash_sprout_prove(
+            params, phi, rt, h_sig,
+            in_sk[0], 0, in_rho[0], in_r[0], auth,
+            in_sk[1], 0, in_rho[1], in_r[1], auth,
+            out_pk[0], out_value[0], out_r[0],
+            out_pk[1], out_value[1], out_r[1],
+            vpub_old, vpub_new, rng=rng,
+        )
+        t_prove = time.time() - t0
+        tag = "cold" if it == 0 else "warm"
+        split = {k: round(v, 3) for k, v in P2.last_timings.items()}
+        print(f"sprout: {tag} proof created in {t_prove:.1f}s "
+              f"({len(proof)} bytes); phases: {split}")
 
     # public inputs recomputed host-side (protocol/sprout.py)
     nf = [H.prf_nf(in_sk[i], in_rho[i]) for i in range(2)]
