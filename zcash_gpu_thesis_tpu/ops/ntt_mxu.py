@@ -348,6 +348,14 @@ def _pass_tail_xla(lo, hi, tw, tables, r: int, done: int, rest: int):
     return jnp.swapaxes(out, 0, 1)
 
 
+# Profiler probe hook (utils.profiler): "skip_tail" replaces the pass
+# tail (fold/ripple/REDC/twiddle) with a cheap cast of the raw matmul
+# halves — wrong math, same matmul work — so the report can attribute
+# pass time between the MXU dot and the VMEM tail WITHOUT forking the
+# transform.  Production leaves None.
+PROBE_MODE = None
+
+
 def _use_pallas() -> bool:
     from ..config import ntt_pallas_tail
 
@@ -411,6 +419,9 @@ def fft_t_mxu(x, omega_int: int, n: int, tws=None, rmax: int = 64,
 
         def run(a_sl, tw_sl, dn, rs):
             lo, hi = _dft_matmul(mat, a_sl, r)
+            if PROBE_MODE == "skip_tail":  # profiler: matmul cost only
+                return ((lo[:r, :L] + hi[:r, :L]).astype(jnp.int32)
+                        & 0xFFF)
             if _use_pallas():
                 return _pass_tail_pallas(lo, hi, tw_sl, r, dn, rs)
             return _pass_tail_xla(lo, hi, tw_sl, tables, r, dn, rs)

@@ -174,9 +174,17 @@ def compute_only_row(iters: int = 8192, lanes: int = 2048):
 
 
 def ntt_rows(logs):
+    """Production NTT (the MXU matmul transform via Domain.fft) plus a
+    matmul-only probe per size, attributing pass time between the MXU
+    dot and the VMEM tail (fold/ripple/REDC/twiddle) — the round-3
+    VERDICT's requested split.  The model-op tally stays the butterfly
+    count (what a radix-2 implementation would execute), so the % column
+    reads as speedup-vs-butterfly-peak like the thesis's VALUBusy
+    figures."""
     import jax
 
     from ..ops import field as F
+    from ..ops import ntt_mxu as NM
     from ..ops.ntt import Domain
 
     Lr = F.FR.n_limbs
@@ -188,11 +196,35 @@ def ntt_rows(logs):
         import jax.numpy as jnp
 
         coeffs = jnp.tile(small, (max(1, n // small.shape[0]), 1))[:n]
-        fft = jax.jit(d.fft)
+        # Domain.fft dispatches to its own jitted executable with the
+        # twiddle/matrix tables as ARGUMENTS — wrapping it in another
+        # jax.jit would build those tables under the trace and cache
+        # tracers into the domain (UnexpectedTracerError on reuse)
+        if d.impl == "mxu":
+            d.tws_for(d.omega)
+            d.mats_for(d.omega)
+        fft = d.fft
         ops = (n // 2) * log_n * (3 * Lr * Lr + 60 * Lr)
         t = time_fn(fft, coeffs)
         floor = _null_floor(min(n, 1 << 17), Lr)
-        rows.append((f"fr_ntt[2^{log_n}]", t, floor, ops))
+        tag = "mxu" if d.impl == "mxu" else "bfly"
+        rows.append((f"fr_ntt_{tag}[2^{log_n}]", t, floor, ops))
+        if d.impl == "mxu":
+            # matmul-only: the real transform with its tail probe on
+            # (wrong math, same MXU work) — fresh jit instance so the
+            # probe flag is read at trace time
+            tws = d.tws_for(d.omega)
+            mats = d.mats_for(d.omega)
+            NM.PROBE_MODE = "skip_tail"
+            try:
+                t_mm = time_fn(
+                    jax.jit(lambda x, t, m: NM.fft_rows_mxu(
+                        x, d.omega, n, t, mats=m)),
+                    coeffs, tws, mats)
+            finally:
+                NM.PROBE_MODE = None
+            rows.append((f"fr_ntt_mxu_matmul_only[2^{log_n}]", t_mm,
+                         floor, ops))
     return rows
 
 
@@ -214,7 +246,11 @@ def msm_rows(logs, g2_log=None):
     rr = _r.Random(5)
     rows = []
 
-    def one(group, log_n, nbase, from_ints, rand_pts, tag, nc):
+    def one(group, log_n, nbase, from_ints, rand_pts, tag, nc, c,
+            chunks, k_inner):
+        """Production bucket config per group: G1 c=6/(16,8), G2 the
+        g2_c()/g2_pallas_params() defaults — the kernels every proof
+        actually runs (round-3 VERDICT: no stale-config rows)."""
         n = 1 << log_n
         base = rand_pts(rr, nbase)
         aff = from_ints([base[i % nbase] for i in range(min(n, 1 << 17))])
@@ -224,21 +260,24 @@ def msm_rows(logs, g2_log=None):
             lambda l: jnp.tile(l, (max(1, n // l.shape[0]),)
                                + (1,) * (l.ndim - 1))[:n], aff)
         scal = [rr.randrange(R) for _ in range(min(n, 1 << 14))]
-        digits = M.recode_signed(M.digits_from_ints(scal, 4), 4)
+        digits = M.recode_signed(M.digits_from_ints(scal, c), c)
         digits = jnp.asarray(np.tile(digits, (max(1, n // len(scal)), 1))[:n])
         w = digits.shape[1]
         fn = lambda a, d: MP.window_sums_pallas_sliced(
-            group, a, d, 4, 16, 8)
+            group, a, d, c, chunks, k_inner)
         ops = n * w * nc * nc * (11 * 3 * L * L + 14 * 8 * L)
         t = time_fn(fn, aff, digits, iters=2)
-        rows.append((f"{tag}_msm_buckets[2^{log_n}]", t, 0.0, ops))
+        rows.append((f"{tag}_msm_buckets[2^{log_n},c={c}]", t, 0.0, ops))
 
+    from ..config import g2_c, g2_pallas_params, msm_config
+
+    c1 = msm_config().c
     for log_n in logs:
         one(cv.G1, log_n, 64, cv.g1_affine_from_ints, O.random_g1_points,
-            "g1", 1)
+            "g1", 1, c1, 16, 8)
     if g2_log:
         one(cv.G2, g2_log, 8, cv.g2_affine_from_ints, O.random_g2_points,
-            "g2", 2)
+            "g2", 2, g2_c(), *g2_pallas_params())
     return rows
 
 
@@ -262,7 +301,7 @@ def report(full: bool = False) -> str:
         "|---|---|---|---|---|---|---|",
     ]
     msm_logs = [14, 17] + ([20] if full else [])
-    ntt_logs = [14, 17] + ([20, 23] if full else [20])
+    ntt_logs = [17] + ([20, 23] if full else [20])
     rows = (field_rows([1 << 13, 1 << 17] + ([1 << 20] if full else []))
             + [compute_only_row()]
             + ntt_rows(ntt_logs)
