@@ -101,35 +101,6 @@ class CompiledConstraints:
                 span=self.mats[name].span, m_domain=m_domain)
         return out["a"], out["b"], out["c"]
 
-    def eval_host(self, assignment, modulus: int):
-        """Bit-exactness oracle: evaluate the compiled matrices with
-        python ints.  Returns (a, b, c) value lists of length
-        n_constraints + n_inputs."""
-        from ..constants import FR_LIMBS, LIMB_BITS, modinv
-
-        r2inv = 1  # coeffs stored as c * R^2; undo at lookup
-        R2 = pow(2, 2 * FR_LIMBS * LIMB_BITS, modulus)
-        inv_r2 = modinv(R2, modulus)
-        coeffs = [
-            sum(int(l) << (LIMB_BITS * k) for k, l in enumerate(row))
-            * inv_r2 % modulus
-            for row in self.coeff_tab
-        ]
-        out = {}
-        for name, m in self.mats.items():
-            rows = [0] * (self.n_constraints + self.n_inputs)
-            cols = m.cols.reshape(-1)
-            cid = m.cid.reshape(-1)
-            # reconstruct row ids from chunk boundaries
-            flat_rows = _rows_from_chunks(m)
-            for t in range(m.nnz):
-                rows[flat_rows[t]] = (
-                    rows[flat_rows[t]]
-                    + coeffs[cid[t]] * assignment[cols[t]]
-                ) % modulus
-            out[name] = rows
-        return out["a"], out["b"], out["c"]
-
     # -- persistence --------------------------------------------------------
 
     def save(self, path: str):
@@ -158,25 +129,6 @@ class CompiledConstraints:
                 z[f"{name}_r0"], span, nnz)
         nc, ni, nv = (int(x) for x in z["meta"])
         return CompiledConstraints(mats, z["coeff_tab"], nc, ni, nv)
-
-
-def _rows_from_chunks(m: CompiledMatrix):
-    """Flat per-term row ids recovered from (r0, end) — build-time data
-    isn't stored twice."""
-    C, S = m.cols.shape
-    rows = np.empty(C * S, np.int64)
-    for k in range(C):
-        e = m.end[k]
-        rel = np.zeros(S, np.int64)
-        # end[j] = #terms with rel <= j  ->  rel = searchsorted-inverse
-        prev = 0
-        for j in range(m.span):
-            cnt = int(e[j]) - prev
-            if cnt:
-                rel[prev:int(e[j])] = j
-            prev = int(e[j])
-        rows[k * S:(k + 1) * S] = rel + int(m.r0[k])
-    return rows[:m.nnz]
 
 
 def _eval_matrix(z, cols, cid, end, r0, coeff_tab, *, span: int,
