@@ -154,22 +154,31 @@ class MsmStage:
         self.g2 = g2
         self.n = len(points)
         w = 12 if g2 else 6
-        xs = np.zeros((self.n, w), dtype=np.uint64)
-        ys = np.zeros((self.n, w), dtype=np.uint64)
-        inf = np.zeros(self.n, dtype=np.uint8)
-        for i, p in enumerate(points):
-            if p is None:
-                inf[i] = 1
-                continue
-            x, y = p
-            if g2:
-                xs[i, :6] = _u64_rows([x[0]], 6)[0]
-                xs[i, 6:] = _u64_rows([x[1]], 6)[0]
-                ys[i, :6] = _u64_rows([y[0]], 6)[0]
-                ys[i, 6:] = _u64_rows([y[1]], 6)[0]
-            else:
-                xs[i] = _u64_rows([x], 6)[0]
-                ys[i] = _u64_rows([y], 6)[0]
+        inf = np.fromiter((p is None for p in points), np.uint8,
+                          count=self.n)
+        # bulk byte repack (one to_bytes per coordinate, one frombuffer
+        # per array) — the per-point _u64_rows loop cost ~20 min staging
+        # the Sprout CRS's ~6M points
+        zero48 = bytes(48)
+
+        def pack(sel):
+            buf = b"".join(
+                zero48 if p is None else int(sel(p)).to_bytes(48, "little")
+                for p in points)
+            return np.frombuffer(buf, np.uint64).reshape(self.n, 6)
+
+        if g2:
+            xs = np.concatenate(
+                [pack(lambda p: p[0][0]), pack(lambda p: p[0][1])],
+                axis=1)
+            ys = np.concatenate(
+                [pack(lambda p: p[1][0]), pack(lambda p: p[1][1])],
+                axis=1)
+        else:
+            xs = pack(lambda p: p[0])
+            ys = pack(lambda p: p[1])
+        xs = np.ascontiguousarray(xs)
+        ys = np.ascontiguousarray(ys)
         g = "g2" if g2 else "g1"
         self._free = getattr(l, f"zktpu_msm_free_{g}")
         self._ws = getattr(l, f"zktpu_msm_{g}_window_sums")
