@@ -326,7 +326,12 @@ def report(full: bool = False) -> str:
         "",
         "Model counts are analytic int32-op tallies per element (module "
         "docstring); the % column is the TPU analogue of the thesis's "
-        "VALUBusy profiler figures (tex/Figures/profiler.py).  The "
+        "VALUBusy profiler figures (tex/Figures/profiler.py).  NTT rows "
+        "keep the BUTTERFLY op tally as the model even for the MXU "
+        "transform, so their % reads as speedup against the ideal "
+        "radix-2 vector implementation — matmul-only rows can exceed "
+        "100% because the MXU executes a different (denser) algorithm "
+        "on a different unit.  The "
         "`fq_mont_mul_compute` row is the dispatch-amortized in-VMEM "
         "rate — the ceiling the bucket kernel's 11-mul mixed adds run "
         "against.  Whole-proof phase splits (FFT vs MSM vs blinding) are "
