@@ -70,19 +70,16 @@ FQ_FOLD = 32    # B_q = 2^384
 FR_FOLD = 22    # B_r = 2^264
 
 
-def _egcd(a: int, b: int):
-    if a == 0:
-        return b, 0, 1
-    g, x, y = _egcd(b % a, a)
-    return g, y - (b // a) * x, x
-
-
 def modinv(a: int, m: int) -> int:
-    """Modular inverse of a mod m (python-int)."""
-    g, x, _ = _egcd(a % m, m)
-    if g != 1:
-        raise ValueError("not invertible")
-    return x % m
+    """Modular inverse of a mod m (python-int).
+
+    CPython's native three-arg pow: the recursive egcd this replaced was
+    the single largest slice of witness synthesis (the jubjub/ecc witness
+    formulas invert per gadget step)."""
+    try:
+        return pow(a, -1, m)
+    except ValueError:
+        raise ValueError("not invertible") from None
 
 
 # Montgomery parameters, computed (fq.rs INV/R/R2 and fr.rs equivalents are
