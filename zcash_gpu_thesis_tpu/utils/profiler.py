@@ -263,11 +263,15 @@ def msm_rows(logs, g2_log=None):
         digits = M.recode_signed(M.digits_from_ints(scal, c), c)
         digits = jnp.asarray(np.tile(digits, (max(1, n // len(scal)), 1))[:n])
         w = digits.shape[1]
-        fn = lambda a, d: MP.window_sums_pallas_sliced(
-            group, a, d, c, chunks, k_inner)
+        # the PRODUCTION path: sliced bucket sweeps + the in-VMEM fused
+        # combine (what every proof's MSM resolve executes) — the older
+        # window_sums form pays an XLA suffix scan over the full bucket
+        # tensor that the fused kernel eliminated
+        fn = lambda a, d: MP.msm_device_proj(group, a, d, c, chunks,
+                                             k_inner)
         ops = n * w * nc * nc * (11 * 3 * L * L + 14 * 8 * L)
         t = time_fn(fn, aff, digits, iters=2)
-        rows.append((f"{tag}_msm_buckets[2^{log_n},c={c}]", t, 0.0, ops))
+        rows.append((f"{tag}_msm_dev[2^{log_n},c={c}]", t, 0.0, ops))
 
     from ..config import g2_c, g2_pallas_params, msm_config
 
