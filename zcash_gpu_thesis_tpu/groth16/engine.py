@@ -666,18 +666,45 @@ class BlsEngine:
             zero-arg resolver -> python-int affine.  Mesh mode shards the
             point axis and runs the full per-shard pipeline (slice
             chaining included) — the hybrid split composes identically on
-            top of either form."""
+            top of either form.
+
+            The resolver also exposes ``packed_dev`` (the flat device
+            result) and ``finish(host_np)`` so the prover can batch all
+            five MSMs' readbacks into ONE host<->device round trip —
+            each separate ~100-byte readback costs a full tunnel RTT
+            (~20-30 ms), a pure-latency tax on the proof."""
             if mesh is not None:
                 from ..parallel import mesh as pm
 
                 parts = pm.sharded_msm_packed(
                     group, aff, dig, mesh, c,
                     max(ck[0] // mesh_n, 1), ck[1], slice_n=sl)
-                return lambda: pm.packed_parts_to_int(group, parts,
-                                                      group_name)
-            packed = MP.msm_device_proj(group, aff, dig, c, *ck,
-                                        slice_n=sl)
-            return lambda: MP.packed_to_int_point(group, packed)
+                shape = parts.shape
+
+                def finish(arr):
+                    import numpy as np
+
+                    return pm.packed_parts_to_int(
+                        group, np.asarray(arr).reshape(shape), group_name)
+
+                flat = parts.reshape(-1)
+            else:
+                packed = MP.msm_device_proj(group, aff, dig, c, *ck,
+                                            slice_n=sl)
+
+                def finish(arr):
+                    return MP.packed_to_int_point(group, arr)
+
+                flat = packed
+
+            def resolve():
+                import numpy as np
+
+                return finish(np.asarray(flat))
+
+            resolve.packed_dev = flat
+            resolve.finish = finish
+            return resolve
 
         hw = 0
         if host_limbs is not None:
@@ -733,8 +760,8 @@ class BlsEngine:
             th = threading.Thread(target=host_part)
             th.start()
 
-            def resolve_hybrid():
-                dev = resolve_dev()
+            def hybrid_finish(arr):
+                dev = resolve_dev.finish(arr)
                 th.join()
                 add = O2.g2_add if group_name == "g2" else O2.g1_add
                 mul = self.g2_mul if group_name == "g2" else self.g1_mul
@@ -743,6 +770,11 @@ class BlsEngine:
                     hi = mul(hi, (1 << (c * lo_w)) % O2.R)
                 return add(dev, hi)
 
+            def resolve_hybrid():
+                return hybrid_finish(np.asarray(resolve_dev.packed_dev))
+
+            resolve_hybrid.packed_dev = resolve_dev.packed_dev
+            resolve_hybrid.finish = hybrid_finish
             return resolve_hybrid
 
         return dev_sweep(digits)

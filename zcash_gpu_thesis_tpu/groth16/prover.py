@@ -199,16 +199,34 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         p_b2 = engine.msm_g2_async(params.b_g2, asg_dev,
                                    host_limbs=asg_arr)
         t0 = _t("msm dispatch", t0)
-        h = p_h()
-        t0 = _t("msm h", t0)
-        l = p_l()
-        t0 = _t("msm l", t0)
-        a_all = p_a()
-        t0 = _t("msm a", t0)
-        b1_all = p_b1()
-        t0 = _t("msm b_g1", t0)
-        b2_all = p_b2()
-        t0 = _t("msm b_g2", t0)
+        resolvers = [p_h, p_l, p_a, p_b1, p_b2]
+        if all(hasattr(r, "packed_dev") for r in resolvers):
+            # ONE device->host transfer for all five packed results: a
+            # separate ~100-byte readback per MSM costs a full tunnel
+            # round trip (~20-30 ms each) of pure latency
+            flats = [r.packed_dev.reshape(-1) for r in resolvers]
+            sizes = [int(f.shape[0]) for f in flats]
+            big = np.asarray(jnp.concatenate(flats))
+            t0 = _t("msm readback", t0)
+            outs = []
+            off = 0
+            for res, sz, lab in zip(resolvers, sizes,
+                                    ("h", "l", "a", "b_g1", "b_g2")):
+                outs.append(res.finish(big[off:off + sz]))
+                off += sz
+                t0 = _t(f"msm {lab}", t0)
+            h, l, a_all, b1_all, b2_all = outs
+        else:
+            h = p_h()
+            t0 = _t("msm h", t0)
+            l = p_l()
+            t0 = _t("msm l", t0)
+            a_all = p_a()
+            t0 = _t("msm a", t0)
+            b1_all = p_b1()
+            t0 = _t("msm b_g1", t0)
+            b2_all = p_b2()
+            t0 = _t("msm b_g2", t0)
     else:
         a_v, b_v, c_v = prover.eval_abc()
         h_coeffs = domain.h_poly(a_v, b_v, c_v)
