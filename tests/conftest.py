@@ -17,7 +17,12 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/zktpu_jax_cache")
+# ZKTPU_TEST_CACHE_DIR isolates the test run's compile cache — writing
+# the shared cache concurrently with TPU benchmark processes has
+# produced segfaults inside jax's cache-write path
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("ZKTPU_TEST_CACHE_DIR",
+                                 "/tmp/zktpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import random
