@@ -30,6 +30,21 @@ _TIMING = os.environ.get("ZKTPU_PROVER_TIMING", "") not in ("", "0")
 
 last_timings: dict = {}
 
+_unpack_jit = None
+
+
+def _get_unpack():
+    global _unpack_jit
+    if _unpack_jit is None:
+        import functools
+
+        import jax
+
+        from ..utils.limbs import unpack_limbs_bytes
+
+        _unpack_jit = jax.jit(functools.partial(unpack_limbs_bytes, L=24))
+    return _unpack_jit
+
 
 def _t(label, t0):
     dt = time.perf_counter() - t0
@@ -161,9 +176,14 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
 
         from ..ops import field as Ff
 
+        from ..utils.limbs import pack_limbs_bytes, unpack_limbs_bytes
+
         asg_arr = Ff.batch_to_limbs(Ff.FR, assignment, mont=False).astype(
             np.int16)
-        asg_dev = jnp.asarray(asg_arr)
+        # densest wire form: 2 limbs per 3 bytes, unpacked on device —
+        # the assignment is the proof's one big upload (Sprout: 2.2M
+        # variables; 106 MB as int16, 79 MB packed)
+        asg_dev = _get_unpack()(jnp.asarray(pack_limbs_bytes(asg_arr)))
         aux_dev = asg_dev[n_in:]
         t0 = _t("pack/upload", t0)
         if compiled is None or (

@@ -106,3 +106,35 @@ def limbs_to_ints_fast(a) -> list:
         int.from_bytes(byts[i * step : (i + 1) * step], "little")
         for i in range(n)
     ]
+
+
+def pack_limbs_bytes(a: "np.ndarray") -> "np.ndarray":
+    """[n, L] 12-bit limb array (L even) -> [n, 3L/2] uint8: two limbs
+    per three little-endian bytes — the densest lossless wire form for
+    canonical limbs.  Inverse of :func:`unpack_limbs_bytes`; host->device
+    uploads shrink 25% vs int16 (the 2M-variable Sprout assignment is a
+    ~106 MB int16 transfer through the tunnel)."""
+    import numpy as np
+
+    n, L = a.shape
+    assert L % 2 == 0
+    a = a.astype(np.int32)
+    lo = a[:, 0::2]
+    hi = a[:, 1::2]
+    out = np.empty((n, L // 2, 3), np.uint8)
+    out[:, :, 0] = lo & 0xFF
+    out[:, :, 1] = (lo >> 8) | ((hi & 0xF) << 4)
+    out[:, :, 2] = hi >> 4
+    return out.reshape(n, 3 * L // 2)
+
+
+def unpack_limbs_bytes(b, L: int):
+    """Device-side inverse of :func:`pack_limbs_bytes`: [n, 3L/2] uint8
+    -> [n, L] int16 limbs (jnp; cheap bit ops, jit-safe)."""
+    import jax.numpy as jnp
+
+    n = b.shape[0]
+    t = b.reshape(n, L // 2, 3).astype(jnp.int16)
+    lo = t[:, :, 0] | ((t[:, :, 1] & 0xF) << 8)
+    hi = (t[:, :, 1] >> 4) | (t[:, :, 2] << 4)
+    return jnp.stack([lo, hi], axis=-1).reshape(n, L)
