@@ -17,13 +17,14 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# ZKTPU_TEST_CACHE_DIR isolates the test run's compile cache — writing
-# the shared cache concurrently with TPU benchmark processes has
-# produced segfaults inside jax's cache-write path
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("ZKTPU_TEST_CACHE_DIR",
-                                 "/tmp/zktpu_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# ZKTPU_TEST_CACHE_DIR isolates the test run's compile cache; "none"
+# disables it entirely — the cache-write path (zstandard compress of
+# multi-GB serialized executables) segfaults on the big 8-device
+# shard_map executables the slow tier compiles
+_cache_dir = os.environ.get("ZKTPU_TEST_CACHE_DIR", "/tmp/zktpu_jax_cache")
+if _cache_dir.lower() != "none":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import random
 
