@@ -658,6 +658,14 @@ class BlsEngine:
         digits = self._digits_for(scal_dev, n_pad, c, nz_idx=nz_idx)
         ck = (16, 8) if group_name == "g1" else g2_pallas_params()
         sl = g2_pad_floor() if group_name == "g2" else (1 << 20)
+        if group_name == "g2" and n_pad > sl:
+            # chained-state G2 sweeps carry the bucket state as a kernel
+            # INPUT as well as output+scratch; at c=7 (nb=64) the full
+            # 16-chunk lane width exceeds the v5e scoped-vmem budget
+            # (raising vmem_limit_bytes doesn't help — Mosaic's demand
+            # tracks the budget).  Halve the lanes: same total madd
+            # work, the state fits with wide margin.
+            ck = (max(ck[0] // 2, 4), ck[1])
         mesh = (self._mesh(mesh_n)
                 if mesh_n > 1 and n_pad % mesh_n == 0 else None)
 

@@ -484,10 +484,12 @@ def bucket_state(group: Group, points, digits, c: int = 4,
             pltpu.VMEM((nb, rows, P), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            # 112M (of v5e's 128M): the G2 chained-state form (init
-            # input + output + 3 scratch at nb=64, rows=66, P=528) needs
-            # 102.4M — the sliced Sprout b_g2 sweep OOMed at 100M
-            vmem_limit_bytes=112 * 1024 * 1024,
+            # Raising this does NOT fix large-state OOMs: Mosaic's
+            # scoped-stack demand tracks the budget (102.4M needed at a
+            # 100M limit became 113M at 112M).  The G2 chained-state
+            # form instead caps its window-lane width (engine clamps
+            # lo_w <= 32 for c=7 G2 when slicing) so the state fits.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*args)
 
