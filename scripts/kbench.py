@@ -156,15 +156,10 @@ def main():
         # only (no one-hot gather/scatter) — isolates the select cost
         # (compare with kernel_only).  No kernel-body fork: the hook
         # lives inside msm_pallas._kernel itself.
-        MP.PROBE_MODE = "noselect"
-        MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
-        try:
+        with MP.probe_mode("noselect"):
             t = timeit(lambda: MP.bucket_accumulate(
                 cv.G1, aff, digits, C, CHUNKS, K_INNER))
             print(f"kernel_no_select: {t*1e3:.1f} ms")
-        finally:
-            MP.PROBE_MODE = None
-            MP.bucket_accumulate.clear_cache(); MP.bucket_state.clear_cache()
 
 
 if __name__ == "__main__":

@@ -40,9 +40,11 @@ def _get_unpack():
 
         import jax
 
+        from ..constants import FR_LIMBS
         from ..utils.limbs import unpack_limbs_bytes
 
-        _unpack_jit = jax.jit(functools.partial(unpack_limbs_bytes, L=24))
+        _unpack_jit = jax.jit(
+            functools.partial(unpack_limbs_bytes, L=FR_LIMBS))
     return _unpack_jit
 
 

@@ -56,6 +56,27 @@ class CompiledMatrix:
         self.span, self.nnz = span, nnz
 
 
+# Format version of the persisted structure npz.  Bump whenever the
+# cols/cid/end/r0 encoding, the coeff-table form, or _eval_matrix's
+# contract changes: load() rejects other versions (and any payload whose
+# content digest does not match), falling back to a fresh recompile —
+# counts alone cannot distinguish a stale encoding from a current one.
+FORMAT_VERSION = 2
+
+
+def _content_digest(arrs: dict) -> np.ndarray:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for name in sorted(arrs):
+        a = np.ascontiguousarray(arrs[name])
+        h.update(name.encode())
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return np.frombuffer(h.digest(), np.uint8).copy()
+
+
 class CompiledConstraints:
     """A/B/C matrices + coefficient table for one circuit shape."""
 
@@ -113,6 +134,9 @@ class CompiledConstraints:
             arrs[f"{name}_end"] = m.end
             arrs[f"{name}_r0"] = m.r0
             arrs[f"{name}_meta"] = np.asarray([m.span, m.nnz], np.int64)
+        arrs["format_version"] = np.asarray([FORMAT_VERSION], np.int64)
+        arrs["digest"] = _content_digest(
+            {k: v for k, v in arrs.items() if k != "digest"})
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **arrs)
@@ -121,6 +145,13 @@ class CompiledConstraints:
     @staticmethod
     def load(path: str) -> "CompiledConstraints":
         z = np.load(path)
+        if "format_version" not in z or \
+                int(z["format_version"][0]) != FORMAT_VERSION:
+            raise ValueError(f"{path}: unsupported compiled-R1CS format")
+        expect = _content_digest(
+            {k: z[k] for k in z.files if k != "digest"})
+        if not np.array_equal(expect, z["digest"]):
+            raise ValueError(f"{path}: compiled-R1CS digest mismatch")
         mats = {}
         for name in ("a", "b", "c"):
             span, nnz = (int(x) for x in z[f"{name}_meta"])

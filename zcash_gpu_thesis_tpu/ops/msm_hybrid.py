@@ -40,15 +40,17 @@ _DEV_MS_PER_WINDOW_131K = {"g1": 5.0, "g2": 20.0}
 # the rate is MEASURED on the running host instead (auto_host_windows).
 _FALLBACK_HOST_MS_131K = {"g1": 45.0, "g2": 150.0}
 
-_host_rate_ms: dict = {}  # group_name -> measured ms/window @ 131k scale
+_host_rate_ms: dict = {}  # (group_name, c) -> measured ms/window @ 131k
 
 
 def _measure_host_rate(stage, group_name: str, c: int) -> float:
     """Wall time per window of the native bucket worker ON THIS HOST,
     measured over min(cores, 4) windows of synthetic digits so the pool's
     real (contended) parallel rate is captured, normalized to 131k
-    points.  Cached per group for the process lifetime."""
-    hit = _host_rate_ms.get(group_name)
+    points.  Cached per (group, window width) for the process lifetime —
+    the bucket count 2^(c-1) changes the per-window cost, so rates
+    measured at one c must not be reused at another."""
+    hit = _host_rate_ms.get((group_name, c))
     if hit is not None:
         return hit
     import os
@@ -63,7 +65,7 @@ def _measure_host_rate(stage, group_name: str, c: int) -> float:
     t0 = time.perf_counter()
     stage.window_sums(dg, 0, nwin, c)
     dt = (time.perf_counter() - t0) * 1e3 / nwin * (131072 / max(stage.n, 1))
-    _host_rate_ms[group_name] = dt
+    _host_rate_ms[(group_name, c)] = dt
     return dt
 
 

@@ -27,6 +27,7 @@ ops.msm.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -278,9 +279,25 @@ def _pdbl_t(f, p):
 # Micro-bench probe hook (scripts/kbench.py): "noselect" replaces the
 # one-hot bucket gather/scatter with bucket-0 accumulation (wrong math,
 # isolates the select cost) INSIDE the real kernel — probes must never
-# fork the kernel body or they silently drift.  Callers set it and clear
-# the bucket_state/bucket_accumulate jit caches; production leaves None.
+# fork the kernel body or they silently drift.  The flag is read at
+# TRACE time, so it may only be flipped through :func:`probe_mode`,
+# which clears the production jit caches on both edges — a stale flag
+# against a cached executable silently corrupts results.
 PROBE_MODE = None
+
+
+@contextlib.contextmanager
+def probe_mode(mode: str):
+    global PROBE_MODE
+    bucket_state.clear_cache()
+    bucket_accumulate.clear_cache()
+    PROBE_MODE = mode
+    try:
+        yield
+    finally:
+        PROBE_MODE = None
+        bucket_state.clear_cache()
+        bucket_accumulate.clear_cache()
 
 
 def _kernel(xs_ref, ys_ref, mag_ref, sign_ref, expand_ref, wnp_ref,

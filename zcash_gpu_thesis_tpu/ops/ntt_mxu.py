@@ -46,6 +46,7 @@ Bit-exact vs ops.ntt.Domain._fft (tested: tests/test_ntt.py).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -352,8 +353,23 @@ def _pass_tail_xla(lo, hi, tw, tables, r: int, done: int, rest: int):
 # tail (fold/ripple/REDC/twiddle) with a cheap cast of the raw matmul
 # halves — wrong math, same matmul work — so the report can attribute
 # pass time between the MXU dot and the VMEM tail WITHOUT forking the
-# transform.  Production leaves None.
+# transform.  Production leaves None; the flag is read at trace time, so
+# flip it only through :func:`probe_mode`, which clears jax's in-process
+# jit cache on both edges (probe callers must still use a FRESH jit
+# instance for the probed call, as utils.profiler does).
 PROBE_MODE = None
+
+
+@contextlib.contextmanager
+def probe_mode(mode: str):
+    global PROBE_MODE
+    jax.clear_caches()
+    PROBE_MODE = mode
+    try:
+        yield
+    finally:
+        PROBE_MODE = None
+        jax.clear_caches()
 
 
 def _use_pallas() -> bool:

@@ -215,14 +215,11 @@ def ntt_rows(logs):
             # probe flag is read at trace time
             tws = d.tws_for(d.omega)
             mats = d.mats_for(d.omega)
-            NM.PROBE_MODE = "skip_tail"
-            try:
+            with NM.probe_mode("skip_tail"):
                 t_mm = time_fn(
                     jax.jit(lambda x, t, m: NM.fft_rows_mxu(
                         x, d.omega, n, t, mats=m)),
                     coeffs, tws, mats)
-            finally:
-                NM.PROBE_MODE = None
             rows.append((f"fr_ntt_mxu_matmul_only[2^{log_n}]", t_mm,
                          floor, ops))
     return rows
