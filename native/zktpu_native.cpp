@@ -913,3 +913,337 @@ void zktpu_g2_mul(const uint64_t* x, const uint64_t* y, const uint64_t* k,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Witness-tape interpreter.
+//
+// The reference's witness generation is compiled Rust inside create_proof
+// (bellman/src/groth16/prover.rs:84-190,226) and costs milliseconds; the
+// python gadget walk is this framework's only interpreted host stage.  The
+// tape recorded once per circuit shape (zcash_gpu_thesis_tpu/wv.py) replays
+// here as a flat op stream over Fr (4x64 Montgomery via double-REDC for
+// mul; binary extended-gcd inverse), emitting the canonical 12-bit-limb
+// assignment array the device pipeline uploads directly.
+// ---------------------------------------------------------------------------
+
+#include <vector>
+
+namespace tape {
+
+typedef unsigned __int128 u128;
+
+static const uint64_t RMOD[4] = {
+    0xffffffff00000001ULL, 0x53bda402fffe5bfeULL,
+    0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL};
+static const uint64_t RINV = 0xfffffffeffffffffULL;  // -r^-1 mod 2^64
+static const uint64_t RR2[4] = {                     // 2^512 mod r
+    0xc999e990f3f29c6dULL, 0x2b6cedcb87925c23ULL,
+    0x05d314967254398fULL, 0x0748d9d99f59ff11ULL};
+
+struct Fr {
+  uint64_t l[4];
+};
+
+static inline bool fr_is_zero(const Fr& a) {
+  return (a.l[0] | a.l[1] | a.l[2] | a.l[3]) == 0;
+}
+
+static inline bool fr_is_one(const Fr& a) {
+  return a.l[0] == 1 && (a.l[1] | a.l[2] | a.l[3]) == 0;
+}
+
+static inline int fr_cmp(const Fr& a, const Fr& b) {
+  for (int i = 3; i >= 0; i--) {
+    if (a.l[i] != b.l[i]) return a.l[i] < b.l[i] ? -1 : 1;
+  }
+  return 0;
+}
+
+static inline bool fr_gte_r(const Fr& a) {
+  for (int i = 3; i >= 0; i--) {
+    if (a.l[i] != RMOD[i]) return a.l[i] > RMOD[i];
+  }
+  return true;
+}
+
+static inline void fr_sub_r(Fr& a) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)a.l[i] - RMOD[i] - borrow;
+    a.l[i] = (uint64_t)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+}
+
+static inline void fr_add(Fr& r, const Fr& a, const Fr& b) {
+  u128 carry = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)a.l[i] + b.l[i] + carry;
+    r.l[i] = (uint64_t)cur;
+    carry = cur >> 64;
+  }
+  if (carry || fr_gte_r(r)) fr_sub_r(r);
+}
+
+static inline void fr_sub(Fr& r, const Fr& a, const Fr& b) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)a.l[i] - b.l[i] - borrow;
+    r.l[i] = (uint64_t)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+  if (borrow) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+      u128 cur = (u128)r.l[i] + RMOD[i] + carry;
+      r.l[i] = (uint64_t)cur;
+      carry = cur >> 64;
+    }
+  }
+}
+
+static inline void fr_neg(Fr& r, const Fr& a) {
+  if (fr_is_zero(a)) {
+    r = a;
+    return;
+  }
+  u128 borrow = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 cur = (u128)RMOD[i] - a.l[i] - borrow;
+    r.l[i] = (uint64_t)cur;
+    borrow = (cur >> 64) ? 1 : 0;
+  }
+}
+
+// CIOS Montgomery product a*b*2^-256 mod r.
+static inline void fr_mont_mul(Fr& r, const Fr& a, const Fr& b) {
+  uint64_t t[4] = {0, 0, 0, 0};
+  uint64_t t4 = 0, t5 = 0;
+  for (int i = 0; i < 4; i++) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      u128 cur = (u128)t[j] + (u128)a.l[i] * b.l[j] + carry;
+      t[j] = (uint64_t)cur;
+      carry = cur >> 64;
+    }
+    u128 cur = (u128)t4 + carry;
+    t4 = (uint64_t)cur;
+    t5 = (uint64_t)(cur >> 64);
+    uint64_t m = t[0] * RINV;
+    carry = ((u128)t[0] + (u128)m * RMOD[0]) >> 64;
+    for (int j = 1; j < 4; j++) {
+      u128 cur2 = (u128)t[j] + (u128)m * RMOD[j] + carry;
+      t[j - 1] = (uint64_t)cur2;
+      carry = cur2 >> 64;
+    }
+    u128 cur3 = (u128)t4 + carry;
+    t[3] = (uint64_t)cur3;
+    t4 = t5 + (uint64_t)(cur3 >> 64);
+  }
+  for (int i = 0; i < 4; i++) r.l[i] = t[i];
+  if (t4 || fr_gte_r(r)) fr_sub_r(r);
+}
+
+// canonical a*b mod r: REDC twice (the second against 2^512 mod r)
+static inline void fr_mul(Fr& r, const Fr& a, const Fr& b) {
+  Fr t, rr;
+  for (int i = 0; i < 4; i++) rr.l[i] = RR2[i];
+  fr_mont_mul(t, a, b);
+  fr_mont_mul(r, t, rr);
+}
+
+static inline void shr1_carry(Fr& a, uint64_t carry_in) {
+  for (int i = 0; i < 3; i++) a.l[i] = (a.l[i] >> 1) | (a.l[i + 1] << 63);
+  a.l[3] = (a.l[3] >> 1) | (carry_in << 63);
+}
+
+// binary extended gcd inverse (canonical in/out); a must be nonzero
+static inline void fr_inv(Fr& out, const Fr& a) {
+  Fr u = a, v, x1, x2;
+  for (int i = 0; i < 4; i++) v.l[i] = RMOD[i];
+  x1.l[0] = 1;
+  x1.l[1] = x1.l[2] = x1.l[3] = 0;
+  x2.l[0] = x2.l[1] = x2.l[2] = x2.l[3] = 0;
+  while (!fr_is_one(u) && !fr_is_one(v)) {
+    while ((u.l[0] & 1) == 0) {
+      shr1_carry(u, 0);
+      if (x1.l[0] & 1) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+          u128 cur = (u128)x1.l[i] + RMOD[i] + carry;
+          x1.l[i] = (uint64_t)cur;
+          carry = cur >> 64;
+        }
+        shr1_carry(x1, (uint64_t)carry);
+      } else {
+        shr1_carry(x1, 0);
+      }
+    }
+    while ((v.l[0] & 1) == 0) {
+      shr1_carry(v, 0);
+      if (x2.l[0] & 1) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+          u128 cur = (u128)x2.l[i] + RMOD[i] + carry;
+          x2.l[i] = (uint64_t)cur;
+          carry = cur >> 64;
+        }
+        shr1_carry(x2, (uint64_t)carry);
+      } else {
+        shr1_carry(x2, 0);
+      }
+    }
+    if (fr_cmp(u, v) >= 0) {
+      u128 borrow = 0;
+      for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)u.l[i] - v.l[i] - borrow;
+        u.l[i] = (uint64_t)cur;
+        borrow = (cur >> 64) ? 1 : 0;
+      }
+      fr_sub(x1, x1, x2);
+    } else {
+      u128 borrow = 0;
+      for (int i = 0; i < 4; i++) {
+        u128 cur = (u128)v.l[i] - u.l[i] - borrow;
+        v.l[i] = (uint64_t)cur;
+        borrow = (cur >> 64) ? 1 : 0;
+      }
+      fr_sub(x2, x2, x1);
+    }
+  }
+  out = fr_is_one(u) ? x1 : x2;
+}
+
+}  // namespace tape
+
+extern "C" {
+
+// Opcode numbering mirrors zcash_gpu_thesis_tpu/wv.py.
+int zktpu_tape_run(const uint8_t* op, const int32_t* a, const int32_t* b,
+                   const int32_t* c, const int16_t* aux, size_t n_ops,
+                   const uint64_t* consts, size_t n_consts,
+                   const uint64_t* leaves, size_t n_leaves,
+                   const int32_t* slots, size_t n_slots,
+                   int16_t* out_limbs) {
+  using tape::Fr;
+  std::vector<Fr> v(n_ops);
+  int zdiv = 0;
+  (void)n_consts;
+  (void)n_leaves;
+  for (size_t i = 0; i < n_ops; i++) {
+    Fr& o = v[i];
+    const int32_t ai = a[i], bi = b[i], ci = c[i];
+    const int sh = aux[i];
+    switch (op[i]) {
+      case 0:  // CONST
+        memcpy(o.l, consts + 4 * (size_t)ai, 32);
+        break;
+      case 1:  // INPUT
+        memcpy(o.l, leaves + 4 * (size_t)ai, 32);
+        break;
+      case 2:
+        tape::fr_add(o, v[ai], v[bi]);
+        break;
+      case 3:
+        tape::fr_sub(o, v[ai], v[bi]);
+        break;
+      case 4:
+        tape::fr_mul(o, v[ai], v[bi]);
+        break;
+      case 5:
+        tape::fr_neg(o, v[ai]);
+        break;
+      case 6:  // INV: 0 -> 0 with the zero-division flag
+        if (tape::fr_is_zero(v[ai])) {
+          zdiv = 1;
+          o = v[ai];
+        } else {
+          tape::fr_inv(o, v[ai]);
+        }
+        break;
+      case 7: {  // BIT
+        const int w = sh >> 6;
+        o.l[0] = w < 4 ? (v[ai].l[w] >> (sh & 63)) & 1 : 0;
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      }
+      case 8:  // SELECT (c ? a : b)
+        o = tape::fr_is_zero(v[ci]) ? v[bi] : v[ai];
+        break;
+      case 9:
+        for (int k = 0; k < 4; k++) o.l[k] = v[ai].l[k] ^ v[bi].l[k];
+        break;
+      case 10:
+        for (int k = 0; k < 4; k++) o.l[k] = v[ai].l[k] & v[bi].l[k];
+        break;
+      case 11:  // ANDN (0/1 domain): a & ~b
+        for (int k = 0; k < 4; k++) o.l[k] = v[ai].l[k] & ~v[bi].l[k];
+        break;
+      case 12:  // NOR
+        o.l[0] = (tape::fr_is_zero(v[ai]) && tape::fr_is_zero(v[bi])) ? 1 : 0;
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      case 13:  // NOT1
+        o.l[0] = 1 - v[ai].l[0];
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      case 14:
+        for (int k = 0; k < 4; k++) o.l[k] = v[ai].l[k] | v[bi].l[k];
+        break;
+      case 15: {  // SHR
+        const int w = sh >> 6, r = sh & 63;
+        for (int k = 0; k < 4; k++) {
+          uint64_t lo = (k + w < 4) ? v[ai].l[k + w] : 0;
+          uint64_t hi = (r && k + w + 1 < 4) ? v[ai].l[k + w + 1] : 0;
+          o.l[k] = r ? (lo >> r) | (hi << (64 - r)) : lo;
+        }
+        break;
+      }
+      case 16: {  // ROTR32
+        const uint32_t x = (uint32_t)v[ai].l[0];
+        o.l[0] = sh ? ((x >> sh) | (x << (32 - sh))) : x;
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      }
+      case 17: {  // CH32
+        const uint32_t x = (uint32_t)v[ai].l[0], y = (uint32_t)v[bi].l[0],
+                       z = (uint32_t)v[ci].l[0];
+        o.l[0] = (x & y) ^ (~x & z);
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      }
+      case 18: {  // MAJ32
+        const uint32_t x = (uint32_t)v[ai].l[0], y = (uint32_t)v[bi].l[0],
+                       z = (uint32_t)v[ci].l[0];
+        o.l[0] = (x & y) ^ (x & z) ^ (y & z);
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      }
+      case 19:  // ISNZ
+        o.l[0] = tape::fr_is_zero(v[ai]) ? 0 : 1;
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      case 20:  // MASK64
+        o.l[0] = v[ai].l[0];
+        o.l[1] = o.l[2] = o.l[3] = 0;
+        break;
+      default:
+        return 2;
+    }
+  }
+  // gather wire slots -> canonical 12-bit limbs (int16)
+  for (size_t s = 0; s < n_slots; s++) {
+    const Fr& x = v[slots[s]];
+    int16_t* o = out_limbs + s * 24;
+    for (int j = 0; j < 24; j++) {
+      const int bitpos = 12 * j;
+      const int w = bitpos >> 6, r = bitpos & 63;
+      uint64_t val = w < 4 ? x.l[w] >> r : 0;
+      if (r > 52 && w + 1 < 4) val |= x.l[w + 1] << (64 - r);
+      o[j] = (int16_t)(val & 0xFFF);
+    }
+  }
+  return zdiv;
+}
+
+}  // extern "C"

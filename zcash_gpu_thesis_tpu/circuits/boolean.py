@@ -13,11 +13,17 @@ from __future__ import annotations
 
 from typing import Optional
 
+from .. import wv
 from ..groth16.r1cs import ONE, LinearCombination, Variable
 
 
-def _b2i(v: Optional[bool]):
-    return None if v is None else int(bool(v))
+def _b2i(v):
+    """Bit value -> allocation value: bool/int 0/1, or a wv.TV trace
+    node passed through untouched (the tape records bit values as 0/1
+    field elements)."""
+    if v is None:
+        return None
+    return v if wv.is_tv(v) else int(bool(v))
 
 
 class AllocatedBit:
@@ -79,7 +85,8 @@ class AllocatedBit:
     @staticmethod
     def and_not(cs, name: str, a: "AllocatedBit", b: "AllocatedBit"):
         value = (
-            None if a.value is None or b.value is None else a.value & (not b.value)
+            None if a.value is None or b.value is None
+            else wv.andn(a.value, b.value)
         )
         var = cs.alloc(f"{name}/and not result", lambda: _b2i(value))
         # a * (1 - b) = c  (boolean.rs:222)
@@ -96,7 +103,7 @@ class AllocatedBit:
         value = (
             None
             if a.value is None or b.value is None
-            else (not a.value) & (not b.value)
+            else wv.nor(a.value, b.value)
         )
         var = cs.alloc(f"{name}/nor result", lambda: _b2i(value))
         # (1 - a) * (1 - b) = c  (boolean.rs:260)
@@ -130,12 +137,15 @@ class Boolean:
     def is_constant(self) -> bool:
         return self.kind == "const"
 
-    def get_value(self) -> Optional[bool]:
+    def get_value(self):
         if self.kind == "const":
             return self.const
-        if self.bit.value is None:
+        v = self.bit.value
+        if v is None:
             return None
-        return bool(self.bit.value) if self.kind == "is" else not self.bit.value
+        if wv.is_tv(v):
+            return v if self.kind == "is" else wv.not_(v)
+        return bool(v) if self.kind == "is" else not v
 
     def not_(self) -> "Boolean":
         if self.kind == "const":
@@ -216,7 +226,8 @@ class Boolean:
         ch_value = (
             None
             if any(v is None for v in vals)
-            else (vals[0] & vals[1]) ^ ((not vals[0]) & vals[2])
+            else wv.xor(wv.and_(vals[0], vals[1]),
+                        wv.andn(vals[2], vals[0]))
         )
         ka, kb, kc = a.kind, b.kind, c.kind
         if ka == kb == kc == "const":
@@ -283,7 +294,7 @@ def u64_into_boolean_vec_le(cs, name: str, value) -> list:
     """64 allocated little-endian bits (boolean.rs:274)."""
     out = []
     for i in range(64):
-        b = None if value is None else bool((value >> i) & 1)
+        b = None if value is None else wv.bit(value, i)
         out.append(Boolean.from_bit(AllocatedBit.alloc(cs, f"{name}/bit {i}", b)))
     return out
 
@@ -293,6 +304,6 @@ def field_into_boolean_vec_le(cs, name: str, value, num_bits: int = 255) -> list
     (boolean.rs:304-360); no packing constraint here — callers bind them."""
     out = []
     for i in range(num_bits):
-        b = None if value is None else bool((value >> i) & 1)
+        b = None if value is None else wv.bit(value, i)
         out.append(Boolean.from_bit(AllocatedBit.alloc(cs, f"{name}/bit {i}", b)))
     return out

@@ -10,6 +10,7 @@ into Edwards form (2 constraints).
 
 from __future__ import annotations
 
+from .. import wv
 from ..constants import R as FR
 from ..constants import modinv
 from ..groth16.r1cs import ONE, LinearCombination, SynthesisError
@@ -20,7 +21,11 @@ from .num import AllocatedNum, Num
 
 
 def _inv_or_none(v):
-    return None if v is None else (modinv(v, FR) if v % FR else None)
+    if v is None:
+        return None
+    if wv.is_tv(v):
+        return wv.inv(v)  # a zero flags the tape replay
+    return modinv(v, FR) if v % FR else None
 
 
 class EdwardsPoint:
@@ -80,7 +85,7 @@ class EdwardsPoint:
         def xval():
             if cv is None or self.x.value is None:
                 return None
-            return self.x.value if cv else 0
+            return wv.select(cv, self.x.value, 0)
 
         x_prime = AllocatedNum.alloc(cs, f"{name}/x'", xval)
         cs.enforce(
@@ -93,7 +98,7 @@ class EdwardsPoint:
         def yval():
             if cv is None or self.y.value is None:
                 return None
-            return self.y.value if cv else 1
+            return wv.select(cv, self.y.value, 1)
 
         y_prime = AllocatedNum.alloc(cs, f"{name}/y'", yval)
         cs.enforce(

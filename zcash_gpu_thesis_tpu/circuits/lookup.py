@@ -9,6 +9,7 @@ the x result is a free linear combination, y costs 1 allocation + 1 AND +
 
 from __future__ import annotations
 
+from .. import wv
 from ..constants import R as FR
 from ..groth16.r1cs import ONE, LinearCombination
 from .boolean import Boolean
@@ -31,17 +32,11 @@ def lookup3_xy(cs, name: str, bits, coords):
     """3-bit lookup into 8 fixed points (lookup.rs:37-120)."""
     assert len(bits) == 3 and len(coords) == 8
     vals = [b.get_value() for b in bits]
-    i = (
-        None
-        if any(v is None for v in vals)
-        else int(vals[0]) + 2 * int(vals[1]) + 4 * int(vals[2])
-    )
-    res_x = AllocatedNum.alloc(
-        cs, f"{name}/x", lambda: None if i is None else coords[i][0]
-    )
-    res_y = AllocatedNum.alloc(
-        cs, f"{name}/y", lambda: None if i is None else coords[i][1]
-    )
+    missing = any(v is None for v in vals)
+    x_sel = None if missing else wv.sel_table(vals, [c[0] for c in coords])
+    y_sel = None if missing else wv.sel_table(vals, [c[1] for c in coords])
+    res_x = AllocatedNum.alloc(cs, f"{name}/x", lambda: x_sel)
+    res_y = AllocatedNum.alloc(cs, f"{name}/y", lambda: y_sel)
     x_coeffs = [0] * 8
     y_coeffs = [0] * 8
     synth(3, [c[0] for c in coords], x_coeffs)
@@ -70,13 +65,12 @@ def lookup3_xy_with_conditional_negation(cs, name: str, bits, coords):
     Returns (Num x, Num y)."""
     assert len(bits) == 3 and len(coords) == 4
     v0, v1, v2 = (b.get_value() for b in bits)
-    i = None if v0 is None or v1 is None else int(v0) + 2 * int(v1)
 
     def yval():
-        if i is None or v2 is None:
+        if v0 is None or v1 is None or v2 is None:
             return None
-        tmp = coords[i][1]
-        return (-tmp) % FR if v2 else tmp
+        tmp = wv.sel_table([v0, v1], [c[1] for c in coords])
+        return wv.select(v2, wv.neg(tmp), tmp)
 
     y = AllocatedNum.alloc(cs, f"{name}/y", yval)
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from .. import wv
 from ..constants import R as FR
 from ..constants import modinv
 from ..groth16.r1cs import ONE, LinearCombination, SynthesisError, Variable
@@ -68,8 +69,13 @@ class AllocatedNum:
 
     def assert_nonzero(self, cs, name: str):
         v = self.value
-        inv = None if v is None else (modinv(v, FR) if v else None)
-        if v == 0:
+        if v is None:
+            inv = None
+        elif wv.is_tv(v):
+            inv = wv.inv(v)  # zero flags the tape replay, not the trace
+        else:
+            inv = modinv(v, FR) if v else None
+        if not wv.is_tv(v) and v == 0:
             # DivisionByZero at witness time (num.rs:318-327)
             def bad():
                 raise SynthesisError(f"{name}: division by zero")
@@ -93,7 +99,7 @@ class AllocatedNum:
         def cval():
             if cv is None or a.value is None or b.value is None:
                 return None
-            return b.value if cv else a.value
+            return wv.select(cv, b.value, a.value)
 
         c = AllocatedNum.alloc(cs, f"{name}/conditional reversal result 1", cval)
         cs.enforce(
@@ -106,7 +112,7 @@ class AllocatedNum:
         def dval():
             if cv is None or a.value is None or b.value is None:
                 return None
-            return a.value if cv else b.value
+            return wv.select(cv, a.value, b.value)
 
         d = AllocatedNum.alloc(cs, f"{name}/conditional reversal result 2", dval)
         cs.enforce(
@@ -158,7 +164,7 @@ class AllocatedNum:
         i = 0
         for pos in range(nbits - 1, -1, -1):
             b = (char_minus_one >> pos) & 1
-            a_bit = None if a_val is None else bool((a_val >> pos) & 1)
+            a_bit = None if a_val is None else wv.bit(a_val, pos)
             if b:
                 bit = AllocatedBit.alloc(cs, f"{name}/bit {i}", a_bit)
                 current_run.append(bit)
@@ -223,5 +229,5 @@ class Num:
         if self.value is None or bv is None:
             value = None
         else:
-            value = (self.value + (coeff if bv else 0)) % FR
+            value = wv.add_if(self.value, bv, coeff)
         return Num(value, self._lc + bit.lc(coeff))

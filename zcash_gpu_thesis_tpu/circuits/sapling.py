@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+from .. import wv
 from ..groth16.r1cs import Circuit, LinearCombination
 from ..protocol import jubjub as J
 from . import blake2s as gblake
@@ -49,6 +50,23 @@ def expose_value_commitment(cs, name: str, value_commitment):
     return value_bits
 
 
+class _TracedPaymentAddress:
+    """Leaf shim: a payment address whose g_d / pk_d are prederived
+    values (trace nodes) instead of protocol objects."""
+
+    def __init__(self, g_d=None, pk_d=None):
+        self._g_d = g_d
+        self.pk_d = pk_d
+
+    def g_d(self):
+        return self._g_d
+
+
+class _Bag:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
 class Spend(Circuit):
     """The Sapling Spend statement (sapling/mod.rs:35-463)."""
 
@@ -71,6 +89,33 @@ class Spend(Circuit):
         self.ar = ar
         self.auth_path = auth_path if auth_path is not None else [None] * TREE_DEPTH
         self.anchor = anchor
+
+    def witness_leaves(self):
+        """Flat per-proof witness values for the tape replay (wv): the
+        compiled-speed analog of the reference's witness struct fields
+        (prover.rs:84-190 consumes them through circuit.synthesize)."""
+        vc, pgk = self.value_commitment, self.proof_generation_key
+        g_d = self.payment_address.g_d()
+        out = [vc.value, vc.randomness, pgk.ak[0], pgk.ak[1], pgk.nsk,
+               g_d[0], g_d[1], self.commitment_randomness, self.ar]
+        for e in self.auth_path:
+            out.extend((e[0], int(bool(e[1]))))
+        out.append(self.anchor)
+        return out
+
+    def with_leaves(self, ls):
+        """Rebuild the circuit instance over trace-node leaves in
+        ``witness_leaves`` order (same shape, same synthesize walk)."""
+        it = iter(ls)
+        vc = _Bag(value=next(it), randomness=next(it))
+        pgk = _Bag(ak=(next(it), next(it)), nsk=next(it))
+        pa = _TracedPaymentAddress(g_d=(next(it), next(it)))
+        rcm, ar = next(it), next(it)
+        path = [(next(it), next(it)) for _ in self.auth_path]
+        anchor = next(it)
+        return Spend(value_commitment=vc, proof_generation_key=pgk,
+                     payment_address=pa, commitment_randomness=rcm, ar=ar,
+                     auth_path=path, anchor=anchor)
 
     def synthesize(self, cs):
         pgk = self.proof_generation_key
@@ -155,7 +200,7 @@ class Spend(Circuit):
             cur_is_right = Boolean.from_bit(
                 AllocatedBit.alloc(
                     cs, f"{ns}/position bit",
-                    None if e is None else bool(e[1]),
+                    None if e is None else e[1],
                 )
             )
             position_bits.append(cur_is_right)
@@ -213,6 +258,21 @@ class Output(Circuit):
         self.commitment_randomness = commitment_randomness
         self.esk = esk
 
+    def witness_leaves(self):
+        vc = self.value_commitment
+        g_d = self.payment_address.g_d()
+        pk_d = self.payment_address.pk_d
+        return [vc.value, vc.randomness, g_d[0], g_d[1], pk_d[0], pk_d[1],
+                self.commitment_randomness, self.esk]
+
+    def with_leaves(self, ls):
+        it = iter(ls)
+        vc = _Bag(value=next(it), randomness=next(it))
+        pa = _TracedPaymentAddress(g_d=(next(it), next(it)),
+                                   pk_d=(next(it), next(it)))
+        return Output(value_commitment=vc, payment_address=pa,
+                      commitment_randomness=next(it), esk=next(it))
+
     def synthesize(self, cs):
         note_contents = []
         note_contents.extend(
@@ -242,7 +302,7 @@ class Output(Circuit):
         sign_bit = Boolean.from_bit(
             AllocatedBit.alloc(
                 cs, "pk_d bit of x",
-                None if pk_d is None else bool(pk_d[0] & 1),
+                None if pk_d is None else wv.bit(pk_d[0], 0),
             )
         )
         note_contents.extend(y_contents)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+from .. import wv
 from ..groth16.r1cs import Circuit, LinearCombination, ONE
 from .boolean import AllocatedBit, Boolean
 from .multipack import pack_into_inputs
@@ -27,7 +28,7 @@ class NoteValue:
         self.bits = [
             AllocatedBit.alloc(
                 cs, f"{name}/bit {i}",
-                None if value is None else bool((value >> i) & 1),
+                None if value is None else wv.bit(value, i),
             )
             for i in range(64)
         ]
@@ -53,13 +54,12 @@ def witness_bits(cs, name: str, value: Optional[bytes], num_bits: int,
                  skip_bits: int):
     """Allocate bits of a byte string, MSB-first per byte, skipping the
     first skip_bits (mod.rs:301-334)."""
-    if value is not None:
-        flat = [
-            bool((b >> i) & 1) for b in value for i in range(7, -1, -1)
-        ][skip_bits:]
-        assert len(flat) == num_bits
-    else:
+    if value is None:
         flat = [None] * num_bits
+    else:
+        # bytes, or a big-endian integer / trace node of the string
+        flat = wv.byte_bits_msb(value, num_bits, skip_bits)
+        assert len(flat) == num_bits
     return [
         Boolean.from_bit(AllocatedBit.alloc(cs, f"{name}/bit {i}", v))
         for i, v in enumerate(flat)
@@ -129,7 +129,7 @@ def conditionally_swap_u256(cs, name, lhs, rhs, condition: AllocatedBit):
     for i, (l, r) in enumerate(zip(lhs, rhs)):
         ns = f"{name}/bit {i}"
         lv, rv = l.get_value(), r.get_value()
-        xv = None if cond_val is None else (rv if cond_val else lv)
+        xv = None if cond_val is None else wv.select(cond_val, rv, lv)
         x = Boolean.from_bit(AllocatedBit.alloc(cs, f"{ns}/x", xv))
         cs.enforce(
             f"{ns}/conditional swap for x",
@@ -137,7 +137,7 @@ def conditionally_swap_u256(cs, name, lhs, rhs, condition: AllocatedBit):
             LinearCombination([(condition.variable, 1)]),
             x.lc() - l.lc(),
         )
-        yv = None if cond_val is None else (lv if cond_val else rv)
+        yv = None if cond_val is None else wv.select(cond_val, lv, rv)
         y = Boolean.from_bit(AllocatedBit.alloc(cs, f"{ns}/y", yv))
         cs.enforce(
             f"{ns}/conditional swap for y",
@@ -176,7 +176,7 @@ class InputNote:
             ns = f"{name}/layer {i}"
             cur_is_right = AllocatedBit.alloc(
                 cs, f"{ns}/cur is right",
-                None if layer is None else bool(layer[1]),
+                None if layer is None else layer[1],
             )
             rhs = witness_u256(
                 cs, f"{ns}/sibling",
@@ -191,7 +191,8 @@ class InputNote:
 
         enforce = AllocatedBit.alloc(
             cs, f"{name}/enforce",
-            None if value.get_value() is None else value.get_value() != 0,
+            None if value.get_value() is None
+            else wv.isnz(value.get_value()),
         )
         cs.enforce(
             f"{name}/enforce validity",
@@ -266,6 +267,38 @@ class JoinSplit(Circuit):
         # 1,989,085 constraints, witness-independent (sprout/mod.rs:465)
         return "sprout-joinsplit"
 
+    def witness_leaves(self):
+        """Flat per-proof witness values for the tape replay; byte
+        strings travel as big-endian integers (wv.byte_bits_msb)."""
+        def b2i(x):
+            return int.from_bytes(x, "big")
+
+        out = [self.vpub_old, self.vpub_new, b2i(self.h_sig),
+               b2i(self.phi), b2i(self.rt)]
+        for inp in self.inputs:
+            out.extend([inp.value, b2i(inp.a_sk), b2i(inp.rho),
+                        b2i(inp.r)])
+            for sib, right in inp.auth_path:
+                out.extend((b2i(sib), int(bool(right))))
+        for o in self.outputs:
+            out.extend([o.value, b2i(o.a_pk), b2i(o.r)])
+        return out
+
+    def with_leaves(self, ls):
+        it = iter(ls)
+        vpub_old, vpub_new, h_sig, phi, rt = (next(it) for _ in range(5))
+        inputs = []
+        for inp in self.inputs:
+            value, a_sk, rho, r = (next(it) for _ in range(4))
+            path = [(next(it), next(it)) for _ in inp.auth_path]
+            inputs.append(JSInput(value=value, a_sk=a_sk, rho=rho, r=r,
+                                  auth_path=path))
+        outputs = [JSOutput(value=next(it), a_pk=next(it), r=next(it))
+                   for _ in self.outputs]
+        return JoinSplit(vpub_old=vpub_old, vpub_new=vpub_new,
+                         h_sig=h_sig, phi=phi, inputs=inputs,
+                         outputs=outputs, rt=rt)
+
     def synthesize(self, cs):
         assert len(self.inputs) == 2 and len(self.outputs) == 2
         vpub_old = NoteValue(cs, "vpub_old", self.vpub_old)
@@ -282,7 +315,7 @@ class JoinSplit(Circuit):
         for i, inp in enumerate(self.inputs):
             ns = f"input {i}"
             if inp.value is not None and lhs_total is not None:
-                lhs_total = (lhs_total + inp.value) & 0xFFFFFFFFFFFFFFFF
+                lhs_total = wv.mask64(lhs_total + inp.value)
             value = NoteValue(cs, f"{ns}/value", inp.value)
             nonce = i == 1
             input_notes.append(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from .. import wv
 from ..groth16.r1cs import LinearCombination
 from .boolean import AllocatedBit, Boolean
 from .multieq import MultiEq
@@ -18,7 +19,10 @@ class UInt32:
     def __init__(self, bits, value: Optional[int]):
         assert len(bits) == 32
         self.bits = list(bits)  # little-endian
-        self.value = value if value is None else value & 0xFFFFFFFF
+        # traced values are < 2^32 by construction (every wv word op
+        # masks); skip the redundant mask op on the tape
+        self.value = (value if value is None or wv.is_tv(value)
+                      else value & 0xFFFFFFFF)
 
     @staticmethod
     def constant(value: int) -> "UInt32":
@@ -33,7 +37,7 @@ class UInt32:
             Boolean.from_bit(
                 AllocatedBit.alloc(
                     cs, f"{name}/allocated bit {i}",
-                    None if value is None else bool((value >> i) & 1),
+                    None if value is None else wv.bit(value, i),
                 )
             )
             for i in range(32)
@@ -46,13 +50,11 @@ class UInt32:
     @staticmethod
     def from_bits_be(bits) -> "UInt32":
         assert len(bits) == 32
-        value = 0
-        for b in bits:
-            v = b.get_value()
-            if v is None:
-                value = None
-                break
-            value = ((value << 1) | int(v)) & 0xFFFFFFFF
+        vals = [b.get_value() for b in bits]
+        value = (
+            None if any(v is None for v in vals)
+            else wv.pack_bits_le(list(reversed(vals)))
+        )
         return UInt32(list(reversed(bits)), value)
 
     def into_bits(self):
@@ -61,21 +63,17 @@ class UInt32:
     @staticmethod
     def from_bits(bits) -> "UInt32":
         assert len(bits) == 32
-        value = 0
-        for b in reversed(bits):
-            v = b.get_value()
-            if v is None:
-                value = None
-                break
-            value = ((value << 1) | int(v)) & 0xFFFFFFFF
+        vals = [b.get_value() for b in bits]
+        value = (
+            None if any(v is None for v in vals)
+            else wv.pack_bits_le(vals)
+        )
         return UInt32(list(bits), value)
 
     def rotr(self, by: int) -> "UInt32":
         by %= 32
         new_bits = [self.bits[(i + by) % 32] for i in range(32)]
-        value = None if self.value is None else (
-            ((self.value >> by) | (self.value << (32 - by))) & 0xFFFFFFFF
-        )
+        value = None if self.value is None else wv.rotr32(self.value, by)
         return UInt32(new_bits, value)
 
     def shr(self, by: int) -> "UInt32":
@@ -84,7 +82,7 @@ class UInt32:
         new_bits = [
             self.bits[i + by] if i + by < 32 else fill for i in range(32)
         ]
-        value = None if self.value is None else self.value >> by
+        value = None if self.value is None else wv.shr(self.value, by)
         return UInt32(new_bits, value)
 
     def xor(self, cs, name: str, other: "UInt32") -> "UInt32":
@@ -104,7 +102,7 @@ class UInt32:
         value = (
             None
             if None in (a.value, b.value, c.value)
-            else (a.value & b.value) ^ (a.value & c.value) ^ (b.value & c.value)
+            else wv.maj32(a.value, b.value, c.value)
         )
         bits = [
             Boolean.sha256_maj(cs, f"{name}/maj {i}", x, y, z)
@@ -117,7 +115,7 @@ class UInt32:
         value = (
             None
             if None in (a.value, b.value, c.value)
-            else (a.value & b.value) ^ ((~a.value & 0xFFFFFFFF) & c.value)
+            else wv.ch32(a.value, b.value, c.value)
         )
         bits = [
             Boolean.sha256_ch(cs, f"{name}/ch {i}", x, y, z)
@@ -146,7 +144,8 @@ class UInt32:
                 coeff <<= 1
 
         modular_value = (
-            None if result_value is None else result_value & 0xFFFFFFFF
+            None if result_value is None else wv.and_(result_value,
+                                                      0xFFFFFFFF)
         )
         if all_constants and modular_value is not None:
             return UInt32.constant(modular_value)
@@ -158,7 +157,7 @@ class UInt32:
         while max_value:
             b = AllocatedBit.alloc(
                 mcs, f"{name}/result bit {i}",
-                None if result_value is None else bool((result_value >> i) & 1),
+                None if result_value is None else wv.bit(result_value, i),
             )
             result_lc = result_lc + LinearCombination([(b.variable, coeff)])
             result_bits.append(Boolean.from_bit(b))

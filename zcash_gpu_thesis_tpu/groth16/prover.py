@@ -18,7 +18,7 @@ import random
 import time
 from typing import Optional
 
-from . import witness
+from . import witness, wtape
 from .params import Parameters, Proof
 from .r1cs import ConstraintSystem, LinearCombination, SynthesisError, Variable
 
@@ -127,25 +127,62 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
     device_scalars = getattr(engine, "supports_device_scalars", False)
     struct_key = None
     compiled = None
+    tape = None
     if device_scalars:
         sk = getattr(circuit, "structure_key", None)
         if sk is not None:
             struct_key = f"{engine.name}-{sk()}"
             compiled = witness.get_structure(struct_key)
-    prover = ProvingAssignment(p, record=compiled is None)
-    # Pause the cycle collector for the gadget walk: synthesis allocates
-    # millions of short-lived tuples/LCs and gc passes are a measurable
-    # slice of the wall time (the reference's synthesis is compiled Rust,
-    # prover.rs:226 — python bookkeeping is our only remaining host cost).
-    import gc
+            if wtape.traceable(circuit):
+                tape = wtape.get_tape(struct_key)
+                if tape is not None and compiled is not None and (
+                        tape.n_constraints != compiled.n_constraints
+                        or tape.n_inputs != compiled.n_inputs
+                        or tape.n_vars != compiled.n_vars):
+                    tape = None  # stale tape: re-trace below
 
-    gc_was = gc.isenabled()
-    gc.disable()
-    try:
-        circuit.synthesize(prover)
-    finally:
-        if gc_was:
-            gc.enable()
+    prover = None
+    asg_arr = None  # canonical int16 limb array [n_vars, L] (device path)
+    if device_scalars and tape is not None:
+        # Compiled-speed witness synthesis: replay the recorded tape over
+        # this proof's leaves in native code (the reference's witness-gen
+        # is compiled Rust inside create_proof, prover.rs:84-190,226).
+        asg_arr = tape.run(circuit.witness_leaves())
+        n_constraints = tape.n_constraints
+        n_in = tape.n_inputs
+        n_vars = tape.n_vars
+    elif device_scalars and wtape.traceable(circuit):
+        # Cache miss: one traced synthesize builds the tape (and the LC
+        # terms when the compiled R1CS is also missing) — the walk that
+        # used to run per proof now runs once per shape.
+        tape, ta = wtape.trace_circuit(circuit,
+                                       record_terms=compiled is None)
+        wtape.put_tape(struct_key, tape)
+        asg_arr = tape.run(circuit.witness_leaves())
+        n_constraints = tape.n_constraints
+        n_in = tape.n_inputs
+        n_vars = tape.n_vars
+        if compiled is None:
+            compiled = witness.compile_structure(
+                ta.term_rows, n_constraints, n_in, n_vars, p)
+            witness.put_structure(struct_key, compiled)
+    else:
+        prover = ProvingAssignment(p, record=compiled is None)
+        # Pause the cycle collector for the gadget walk: synthesis
+        # allocates millions of short-lived tuples/LCs and gc passes are
+        # a measurable slice of the wall time.
+        import gc
+
+        gc_was = gc.isenabled()
+        gc.disable()
+        try:
+            circuit.synthesize(prover)
+        finally:
+            if gc_was:
+                gc.enable()
+        n_constraints = prover.n_constraints
+        n_in = len(prover.input_assignment)
+        n_vars = n_in + len(prover.aux_assignment)
     t0 = _t("synthesis", t0)
 
     vk = params.vk
@@ -157,13 +194,11 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
     # H(x) (prover.rs:256-283).  Rows = constraints + the input
     # consistency constraints (prover.rs:228-234, compiled into the A
     # matrix / appended by eval_abc).
-    n_in = params.num_inputs
-    n_rows = prover.n_constraints + len(prover.input_assignment)
+    n_rows = n_constraints + n_in
     m = 1
     while m < n_rows:
         m *= 2
     domain = engine.domain(m)
-    assignment = prover.input_assignment + prover.aux_assignment
 
     if device_scalars:
         # Device-resident pipeline: the assignment uploads ONCE as
@@ -180,8 +215,10 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
 
         from ..utils.limbs import pack_limbs_bytes, unpack_limbs_bytes
 
-        asg_arr = Ff.batch_to_limbs(Ff.FR, assignment, mont=False).astype(
-            np.int16)
+        if asg_arr is None:
+            assignment = prover.input_assignment + prover.aux_assignment
+            asg_arr = Ff.batch_to_limbs(Ff.FR, assignment,
+                                        mont=False).astype(np.int16)
         # densest wire form: 2 limbs per 3 bytes, unpacked on device —
         # the assignment is the proof's one big upload (Sprout: 2.2M
         # variables; 106 MB as int16, 79 MB packed)
@@ -189,15 +226,15 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
         aux_dev = asg_dev[n_in:]
         t0 = _t("pack/upload", t0)
         if compiled is None or (
-                compiled.n_constraints != prover.n_constraints
+                compiled.n_constraints != n_constraints
                 or compiled.n_inputs != n_in
-                or compiled.n_vars != len(assignment)):
-            if not prover.term_rows:  # stale cached shape: resynthesize
+                or compiled.n_vars != n_vars):
+            if prover is None or not prover.term_rows:
+                # stale cached shape: resynthesize with term recording
                 prover = ProvingAssignment(p, record=True)
                 circuit.synthesize(prover)
             compiled = witness.compile_structure(
-                prover.term_rows, prover.n_constraints, n_in,
-                len(assignment), p)
+                prover.term_rows, n_constraints, n_in, n_vars, p)
             witness.put_structure(struct_key, compiled)
             t0 = _t("compile r1cs", t0)
         a_m, b_m, c_m = compiled.eval3(asg_dev, m)
@@ -250,6 +287,7 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
             b2_all = p_b2()
             t0 = _t("msm b_g2", t0)
     else:
+        assignment = prover.input_assignment + prover.aux_assignment
         a_v, b_v, c_v = prover.eval_abc()
         h_coeffs = domain.h_poly(a_v, b_v, c_v)
         t0 = _t("fft (h poly)", t0)

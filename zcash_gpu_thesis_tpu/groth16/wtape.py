@@ -1,0 +1,304 @@
+"""Witness-tape tracing, persistence and native replay.
+
+Companion to :mod:`zcash_gpu_thesis_tpu.wv` (see its docstring for the
+design).  This module owns the Groth16-facing pieces:
+
+* :class:`TraceAssignment` — a ``ConstraintSystem`` that runs the gadget
+  walk over ``wv.TV`` trace nodes, binding every allocated wire to its
+  tape slot (and optionally recording LC terms for the compiled-R1CS
+  build, so one traced synthesize serves both caches);
+* tape persistence in the params directory (same lifecycle as the
+  compiled-R1CS structures in :mod:`.witness`, with the same
+  format-version + content-digest guard);
+* per-proof replay: native C++ interpreter
+  (``native/zktpu_native.cpp:zktpu_tape_run``) emitting the canonical
+  12-bit-limb assignment array directly, with a python-int fallback.
+
+Reference bar: bellman's witness generation is compiled Rust inside
+``create_proof`` (``prover.rs:84-190,226``) and costs milliseconds; the
+tape replay is this framework's equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import wv
+from ..constants import FR_LIMBS, LIMB_BITS, R
+from .r1cs import ConstraintSystem, SynthesisError, Variable
+
+FORMAT_VERSION = 1
+
+
+class TraceAssignment(ConstraintSystem):
+    """Synthesis over trace nodes: allocations bind wires to tape slots;
+    ``enforce`` counts (and optionally records terms)."""
+
+    def __init__(self, tape: wv.Tape, record_terms: bool = False):
+        super().__init__()
+        self.tape = tape
+        self.n_constraints = 0
+        self.term_rows = []
+        self._record = record_terms
+        self.alloc_input("one", lambda: 1)
+
+    def _slot(self, v) -> int:
+        if wv.is_tv(v):
+            return v.i
+        return self.tape.const(int(v) % R)
+
+    def alloc(self, name, f):
+        v = f()
+        if v is None:
+            raise SynthesisError(f"missing assignment: {self.path_name(name)}")
+        self.tape.aux_slots.append(self._slot(v))
+        return Variable("aux", len(self.tape.aux_slots) - 1)
+
+    def alloc_input(self, name, f):
+        v = f()
+        if v is None:
+            raise SynthesisError(f"missing input: {self.path_name(name)}")
+        self.tape.input_slots.append(self._slot(v))
+        return Variable("input", len(self.tape.input_slots) - 1)
+
+    def enforce(self, name, a, b, c):
+        self.n_constraints += 1
+        if self._record:
+            self.term_rows.append((a.terms, b.terms, c.terms))
+
+
+class CompiledTape:
+    """Finalized (array-form) witness tape for one circuit shape."""
+
+    def __init__(self, op, a, b, c, aux, consts, n_leaves, input_slots,
+                 aux_slots, n_constraints):
+        self.op = op            # [n_ops] uint8
+        self.a = a              # [n_ops] int32
+        self.b = b
+        self.c = c
+        self.aux = aux          # [n_ops] int16 (bit index / shift)
+        self.consts = consts    # [n_consts, 4] uint64 little-endian
+        self.n_leaves = int(n_leaves)
+        self.input_slots = input_slots  # [n_in] int32
+        self.aux_slots = aux_slots      # [n_aux] int32
+        self.n_constraints = int(n_constraints)
+
+    @property
+    def n_inputs(self):
+        return len(self.input_slots)
+
+    @property
+    def n_vars(self):
+        return len(self.input_slots) + len(self.aux_slots)
+
+    @staticmethod
+    def from_trace(tape: wv.Tape, n_constraints: int) -> "CompiledTape":
+        consts = np.zeros((len(tape.consts), 4), np.uint64)
+        for i, v in enumerate(tape.consts):
+            for k in range(4):
+                consts[i, k] = (v >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+        return CompiledTape(
+            np.asarray(tape.op, np.uint8), np.asarray(tape.a, np.int32),
+            np.asarray(tape.b, np.int32), np.asarray(tape.c, np.int32),
+            np.asarray(tape.aux, np.int16), consts, tape.n_leaves,
+            np.asarray(tape.input_slots, np.int32),
+            np.asarray(tape.aux_slots, np.int32), n_constraints)
+
+    # -- replay --------------------------------------------------------------
+
+    def _leaf_words(self, leaves) -> np.ndarray:
+        if len(leaves) != self.n_leaves:
+            raise SynthesisError(
+                f"tape expects {self.n_leaves} leaves, got {len(leaves)}")
+        out = np.zeros((len(leaves), 4), np.uint64)
+        for i, v in enumerate(leaves):
+            v = int(v)  # raw — byte-string leaves are 256-bit (wv.Tape.leaf)
+            for k in range(4):
+                out[i, k] = (v >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+        return out
+
+    def run(self, leaves) -> np.ndarray:
+        """Replay over fresh leaf values -> canonical int16 limb array
+        [n_vars, FR_LIMBS] (inputs first), via the native interpreter
+        when available."""
+        from .. import native as NV
+
+        if NV.available() and hasattr(NV.lib(), "zktpu_tape_run"):
+            return self._run_native(leaves)
+        return self._run_py(leaves)
+
+    def _run_native(self, leaves) -> np.ndarray:
+        import ctypes
+
+        from .. import native as NV
+
+        l = NV.lib()
+        slots = np.concatenate([self.input_slots, self.aux_slots])
+        out = np.empty((len(slots), FR_LIMBS), np.int16)
+        leaf_w = np.ascontiguousarray(self._leaf_words(leaves))
+        rc = l.zktpu_tape_run(
+            self.op.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.aux.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            ctypes.c_size_t(len(self.op)),
+            self.consts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_size_t(self.consts.shape[0]),
+            leaf_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_size_t(leaf_w.shape[0]),
+            slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_size_t(len(slots)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        )
+        if rc != 0:
+            raise SynthesisError("tape replay: division by zero "
+                                 "(invalid witness)")
+        return out
+
+    def _run_py(self, leaves) -> np.ndarray:
+        from ..utils.limbs import ints_to_limbs_fast
+
+        tape = wv.Tape()
+        tape.op = self.op.tolist()
+        tape.a = self.a.tolist()
+        tape.b = self.b.tolist()
+        tape.c = self.c.tolist()
+        tape.aux = self.aux.tolist()
+        tape.consts = [int(sum(int(w) << (64 * k)
+                               for k, w in enumerate(row)))
+                       for row in self.consts]
+        tape.n_leaves = self.n_leaves
+        vals, zdiv = wv.replay_py(tape, leaves)
+        if zdiv:
+            raise SynthesisError("tape replay: division by zero "
+                                 "(invalid witness)")
+        slots = np.concatenate([self.input_slots, self.aux_slots])
+        return ints_to_limbs_fast([vals[s] for s in slots],
+                                  FR_LIMBS).astype(np.int16)
+
+    def values(self, leaves):
+        """Python-int wire values (input list, aux list) — the oracle
+        path for tests and for engines that want plain ints."""
+        tape = wv.Tape()
+        tape.op = self.op.tolist()
+        tape.a = self.a.tolist()
+        tape.b = self.b.tolist()
+        tape.c = self.c.tolist()
+        tape.aux = self.aux.tolist()
+        tape.consts = [int(sum(int(w) << (64 * k)
+                               for k, w in enumerate(row)))
+                       for row in self.consts]
+        tape.n_leaves = self.n_leaves
+        vals, zdiv = wv.replay_py(tape, leaves)
+        if zdiv:
+            raise SynthesisError("tape replay: division by zero")
+        return ([vals[s] for s in self.input_slots],
+                [vals[s] for s in self.aux_slots])
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str):
+        from .witness import _content_digest
+
+        arrs = {"op": self.op, "a": self.a, "b": self.b, "c": self.c,
+                "aux": self.aux, "consts": self.consts,
+                "input_slots": self.input_slots,
+                "aux_slots": self.aux_slots,
+                "meta": np.asarray([FORMAT_VERSION, self.n_leaves,
+                                    self.n_constraints], np.int64)}
+        arrs["digest"] = _content_digest(arrs)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrs)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def load(path: str) -> "CompiledTape":
+        from .witness import _content_digest
+
+        z = np.load(path)
+        ver, n_leaves, n_constraints = (int(x) for x in z["meta"])
+        if ver != FORMAT_VERSION:
+            raise ValueError(f"{path}: unsupported tape format {ver}")
+        expect = _content_digest(
+            {k: z[k] for k in z.files if k != "digest"})
+        if not np.array_equal(expect, z["digest"]):
+            raise ValueError(f"{path}: tape digest mismatch")
+        return CompiledTape(z["op"], z["a"], z["b"], z["c"], z["aux"],
+                            z["consts"], n_leaves, z["input_slots"],
+                            z["aux_slots"], n_constraints)
+
+
+def trace_circuit(circuit, record_terms: bool = False):
+    """Run one traced synthesize: returns (CompiledTape, TraceAssignment).
+
+    The circuit must implement ``witness_leaves`` / ``with_leaves``
+    (Sapling Spend/Output, Sprout JoinSplit); the TraceAssignment carries
+    ``term_rows`` when ``record_terms`` so the compiled-R1CS structure
+    can be built from the same walk."""
+    tape = wv.Tape()
+    leaves = circuit.witness_leaves()
+    tvs = tape.leaves(leaves)
+    traced = circuit.with_leaves(tvs)
+    ta = TraceAssignment(tape, record_terms=record_terms)
+    import gc
+
+    gc_was = gc.isenabled()
+    gc.disable()
+    try:
+        traced.synthesize(ta)
+    finally:
+        if gc_was:
+            gc.enable()
+    return CompiledTape.from_trace(tape, ta.n_constraints), ta
+
+
+def traceable(circuit) -> bool:
+    return (hasattr(circuit, "witness_leaves")
+            and hasattr(circuit, "with_leaves"))
+
+
+# -- cache (mirrors witness.get_structure/put_structure) ---------------------
+
+_cache: dict = {}
+
+
+def _disk_path(key: str):
+    from .witness import _disk_path as wd
+
+    p = wd(key)
+    if p is None:
+        return None
+    return p.replace("compiled-r1cs-", "wtape-")
+
+
+def get_tape(key):
+    if not key:
+        return None
+    hit = _cache.get(key)
+    if hit is not None:
+        return hit
+    path = _disk_path(key)
+    if path and os.path.exists(path):
+        try:
+            hit = CompiledTape.load(path)
+        except Exception:
+            return None
+        _cache[key] = hit
+        return hit
+    return None
+
+
+def put_tape(key, tape: CompiledTape):
+    if not key:
+        return
+    _cache[key] = tape
+    path = _disk_path(key)
+    if path:
+        try:
+            tape.save(path)
+        except OSError:
+            pass

@@ -60,6 +60,15 @@ def lib() -> Optional[ctypes.CDLL]:
                 u64p,
             ]
             getattr(l, f"zktpu_{g}_mul").argtypes = [u64p, u64p, u64p, u64p]
+        if hasattr(l, "zktpu_tape_run"):
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i16p = ctypes.POINTER(ctypes.c_int16)
+            l.zktpu_tape_run.restype = ctypes.c_int
+            l.zktpu_tape_run.argtypes = [
+                u8p, i32p, i32p, i32p, i16p, ctypes.c_size_t,
+                u64p, ctypes.c_size_t, u64p, ctypes.c_size_t,
+                i32p, ctypes.c_size_t, i16p,
+            ]
         _lib = l
     return _lib
 
