@@ -114,7 +114,17 @@ def bench_prover(scale: int = 1):
     }))
 
 
-def bench_spend(repeat: int = 3, emit: bool = True):
+def _stats(xs):
+    import statistics
+
+    xs = sorted(xs)
+    k = max(0, min(len(xs) - 1, round(0.95 * (len(xs) - 1))))
+    return {"min": round(xs[0], 4),
+            "median": round(statistics.median(xs), 4),
+            "p95": round(xs[k], 4), "n": len(xs)}
+
+
+def bench_spend(repeat: int = 10, emit: bool = True):
     """True warm whole-proof wall-clock: a real ``create_proof`` on the
     98,777-constraint Sapling Spend circuit with a real witness and the
     cached CRS — the reference's headline 2.0 s workload
@@ -170,7 +180,10 @@ def bench_spend(repeat: int = 3, emit: bool = True):
     ar = rng.randrange(J.FS)
 
     runs = []
-    for it in range(repeat + 1):  # first iteration is the warmup
+    # two warmup iterations: the first compiles the steady-state shapes,
+    # the second flushes stragglers (a late kernel compile inside a
+    # "warm" repeat poisons the p95 with a 30+ s outlier)
+    for it in range(repeat + 2):
         ctx = A.librustzcash_sapling_proving_ctx_init()
         t0 = time.perf_counter()
         res = A.librustzcash_sapling_spend_proof(
@@ -181,11 +194,15 @@ def bench_spend(repeat: int = 3, emit: bool = True):
         assert res is not None, "spend proof failed"
         runs.append((wall, dict(P.last_timings)))
 
-    wall, tm = min(runs[1:], key=lambda r: sum(
+    runs = runs[2:]
+    wall, tm = min(runs, key=lambda r: sum(
         v for k, v in r[1].items()
         if k not in ("synthesis", "total")))
     msm = sum(v for k, v in tm.items() if k.startswith("msm"))
     compute = tm.get("total", 0) - tm.get("synthesis", 0)
+    computes = [t.get("total", 0) - t.get("synthesis", 0)
+                for _, t in runs]
+    walls = [w for w, _ in runs]
     out = {
         "metric": "sapling_spend_proof",
         "value": round(compute, 4),
@@ -199,6 +216,10 @@ def bench_spend(repeat: int = 3, emit: bool = True):
         "pack_s": round(tm.get("pack/upload", 0), 4),
         "create_proof_total_s": round(tm.get("total", 0), 4),
         "ffi_wall_s": round(wall, 4),
+        # variance over the warm repeats (the thesis reports stressed /
+        # worst-case numbers, wholeproof.py:7-8)
+        "compute_stats": _stats(computes),
+        "wall_stats": _stats(walls),
     }
     if emit:
         print(json.dumps(out))
@@ -262,6 +283,8 @@ def bench_large_msm(log_n: int, group_name: str = "g1"):
     from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
     from zcash_gpu_thesis_tpu.oracle import curve as O
 
+    from zcash_gpu_thesis_tpu.config import g2_c, msm_config
+
     n = 1 << log_n
     g2 = group_name == "g2"
     group = cv.G2 if g2 else cv.G1
@@ -274,12 +297,17 @@ def bench_large_msm(log_n: int, group_name: str = "g1"):
                 else cv.g1_affine_from_ints(base))
     aff_dev = jax.tree.map(jnp.asarray, aff_base)
 
-    c = 6
+    # production window widths (the kernels every proof runs)
+    c = g2_c() if g2 else msm_config().c
     limbs = _rand_fr_limbs_np(rng_np, n)
     digits = M.recode_signed(_digits_np(limbs, c), c).astype(np.int8)
 
     slice_n = min(n, 1 << (16 if g2 else 20))
     chunks, k_inner = (16, 8)
+    if g2 and n > slice_n and (1 << (c - 1)) > 32:
+        # chained-state G2 sweeps at nb>32 exceed scoped VMEM at full
+        # lane width; halve the chunks like the engine does (engine.py)
+        chunks = 8
 
     # digit planes resident before timing (one-time upload; scalars in a
     # real proof arrive as one int16 limb upload, see prover.pack_canon)
@@ -420,15 +448,8 @@ def bench_msm_131k(emit: bool = True):
     scalars = [fx.fr() for _ in range(N)]
     pts = BlsEngine().fixed_base_g1(ks)
 
-    from zcash_gpu_thesis_tpu.config import msm_config
+    from zcash_gpu_thesis_tpu.config import msm_config, msm_hybrid_c
     from zcash_gpu_thesis_tpu.ops import msm_pallas as MP
-
-    cfg = msm_config()
-    c, chunks, k_inner = cfg.c, 16, 8
-
-    aff = cv.g1_affine_from_ints(pts)
-    digits_np = M.recode_signed(M.digits_from_ints(scalars, c), c)
-    digits = jnp.asarray(digits_np)
 
     # Hybrid host+device window split (the thesis's Chapter7 proposal):
     # top-k windows on native host threads overlapped with the device
@@ -438,8 +459,15 @@ def bench_msm_131k(emit: bool = True):
     from zcash_gpu_thesis_tpu.config import msm_hybrid_windows
     from zcash_gpu_thesis_tpu.ops.msm_hybrid import msm_hybrid
 
+    cfg = msm_config()
     hw = msm_hybrid_windows()
     hybrid = (hw != 0 and cfg.impl == "pallas" and NV.available())
+    # hybrid and pure-device sweeps have different measured-best widths
+    c, chunks, k_inner = (msm_hybrid_c() if hybrid else cfg.c), 16, 8
+
+    aff = cv.g1_affine_from_ints(pts)
+    digits_np = M.recode_signed(M.digits_from_ints(scalars, c), c)
+    digits = jnp.asarray(digits_np)
     stage = NV.MsmStage(pts, g2=False) if hybrid else None
 
     def run():
@@ -457,7 +485,7 @@ def bench_msm_131k(emit: bool = True):
 
     out = run()  # warmup/compile
     times = []
-    for _ in range(3):
+    for _ in range(10):
         t0 = time.perf_counter()
         out = run()
         times.append(time.perf_counter() - t0)
@@ -473,6 +501,7 @@ def bench_msm_131k(emit: bool = True):
         "unit": "s",
         "vs_baseline": round(BASELINE_S / t, 3),
         "bit_exact": ok,
+        "stats": _stats(times),
     }
     if emit:
         print(json.dumps(res))
@@ -480,7 +509,7 @@ def bench_msm_131k(emit: bool = True):
     return res
 
 
-def headline(repeat: int = 3):
+def headline(repeat: int = 10):
     """Default mode: the bare 131k MSM AND the warm whole Spend proof,
     combined into ONE final JSON line (the driver parses the tail line,
     so both flagship metrics must be in it)."""
@@ -502,19 +531,68 @@ def headline(repeat: int = 3):
         "synthesis_s": spend["synthesis_s"],
         "create_proof_total_s": spend["create_proof_total_s"],
         "ffi_wall_s": spend["ffi_wall_s"],
+        "compute_stats": spend["compute_stats"],
+        "wall_stats": spend["wall_stats"],
+        "msm_stats": msm["stats"],
+        "large": _load_large(),
         "bit_exact": msm["bit_exact"],
     }))
+
+
+def _load_large():
+    """Fold the committed large-n artifact (regenerated by
+    ``--mode largeall``) into the headline tail JSON so the driver
+    captures the 2^20/2^24 MSM and 2^23 NTT numbers machine-checkably
+    (the reference commits its sweep data, tex/Figures/finalresults.py)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "LARGE.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def bench_large_all():
+    """Regenerate LARGE.json: fresh 2^20 G1/G2, 2^24 G1 MSMs and the
+    2^23 coset NTT chain on the current kernels, bit-exact-checked."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    rows = {}
+    for name, fn in (
+        ("g1_msm_2^20", lambda: bench_large_msm(20, "g1")),
+        ("g2_msm_2^20", lambda: bench_large_msm(20, "g2")),
+        ("g1_msm_2^24", lambda: bench_large_msm(24, "g1")),
+        ("fr_ntt_2^23", lambda: bench_ntt(23)),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            fn()
+        row = json.loads(buf.getvalue().strip().splitlines()[-1])
+        rows[name] = row
+        print(json.dumps(row), flush=True)
+    out = {"rows": rows}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "LARGE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"metric": "large_all", "value": len(rows),
+                      "unit": "rows", "vs_baseline": 1.0}))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
                     choices=["headline", "msm", "prover", "spend", "msm20",
-                             "msm24", "ntt23", "large"],
+                             "msm24", "ntt23", "large", "largeall"],
                     default="headline")
     ap.add_argument("--scale", type=int, default=1,
                     help="divide the prover-replay sizes (smoke testing)")
-    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--repeat", type=int, default=10)
     ap.add_argument("--log-n", type=int, default=0,
                     help="override log2(n) for mode=large")
     ap.add_argument("--group", choices=["g1", "g2"], default="g1")
@@ -541,3 +619,5 @@ if __name__ == "__main__":
         bench_ntt(23)
     elif mode == "large":
         bench_large_msm(ns.log_n or 20, ns.group)
+    elif mode == "largeall":
+        bench_large_all()

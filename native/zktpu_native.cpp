@@ -1116,20 +1116,24 @@ static inline void fr_inv(Fr& out, const Fr& a) {
 
 }  // namespace tape
 
-extern "C" {
+namespace tape {
+
+static inline void emit_limbs(const Fr& x, int16_t* o) {
+  for (int j = 0; j < 24; j++) {
+    const int bitpos = 12 * j;
+    const int w = bitpos >> 6, r = bitpos & 63;
+    uint64_t val = w < 4 ? x.l[w] >> r : 0;
+    if (r > 52 && w + 1 < 4) val |= x.l[w + 1] << (64 - r);
+    o[j] = (int16_t)(val & 0xFFF);
+  }
+}
 
 // Opcode numbering mirrors zcash_gpu_thesis_tpu/wv.py.
-int zktpu_tape_run(const uint8_t* op, const int32_t* a, const int32_t* b,
-                   const int32_t* c, const int16_t* aux, size_t n_ops,
-                   const uint64_t* consts, size_t n_consts,
-                   const uint64_t* leaves, size_t n_leaves,
-                   const int32_t* slots, size_t n_slots,
-                   int16_t* out_limbs) {
-  using tape::Fr;
-  std::vector<Fr> v(n_ops);
+static int tape_exec(const uint8_t* op, const int32_t* a, const int32_t* b,
+                     const int32_t* c, const int16_t* aux, size_t n_ops,
+                     const uint64_t* consts, const uint64_t* leaves,
+                     std::vector<Fr>& v) {
   int zdiv = 0;
-  (void)n_consts;
-  (void)n_leaves;
   for (size_t i = 0; i < n_ops; i++) {
     Fr& o = v[i];
     const int32_t ai = a[i], bi = b[i], ci = c[i];
@@ -1231,19 +1235,57 @@ int zktpu_tape_run(const uint8_t* op, const int32_t* a, const int32_t* b,
         return 2;
     }
   }
-  // gather wire slots -> canonical 12-bit limbs (int16)
-  for (size_t s = 0; s < n_slots; s++) {
-    const Fr& x = v[slots[s]];
-    int16_t* o = out_limbs + s * 24;
-    for (int j = 0; j < 24; j++) {
-      const int bitpos = 12 * j;
-      const int w = bitpos >> 6, r = bitpos & 63;
-      uint64_t val = w < 4 ? x.l[w] >> r : 0;
-      if (r > 52 && w + 1 < 4) val |= x.l[w + 1] << (64 - r);
-      o[j] = (int16_t)(val & 0xFFF);
-    }
-  }
   return zdiv;
+}
+
+}  // namespace tape
+
+extern "C" {
+
+int zktpu_tape_run(const uint8_t* op, const int32_t* a, const int32_t* b,
+                   const int32_t* c, const int16_t* aux, size_t n_ops,
+                   const uint64_t* consts, size_t n_consts,
+                   const uint64_t* leaves, size_t n_leaves,
+                   const int32_t* slots, size_t n_slots,
+                   int16_t* out_limbs) {
+  using tape::Fr;
+  (void)n_consts;
+  (void)n_leaves;
+  std::vector<Fr> v(n_ops);
+  int rc = tape::tape_exec(op, a, b, c, aux, n_ops, consts, leaves, v);
+  if (rc > 1) return rc;
+  for (size_t s = 0; s < n_slots; s++)
+    tape::emit_limbs(v[slots[s]], out_limbs + s * 24);
+  return rc;
+}
+
+// Split-output replay: the full wire limb array (for the host hybrid
+// MSM digit planes; pass full_limbs=NULL to skip), the provably-boolean
+// wires as one bit each, and the non-boolean sidecar as limbs — the
+// upload form for bit-dominated circuits (Sprout).
+int zktpu_tape_run_split(
+    const uint8_t* op, const int32_t* a, const int32_t* b,
+    const int32_t* c, const int16_t* aux, size_t n_ops,
+    const uint64_t* consts, size_t n_consts,
+    const uint64_t* leaves, size_t n_leaves,
+    const int32_t* full_slots, size_t n_full, int16_t* full_limbs,
+    const int32_t* bit_slots, size_t n_bit, uint8_t* bits_out,
+    const int32_t* nonbit_slots, size_t n_nonbit, int16_t* nonbit_limbs) {
+  using tape::Fr;
+  (void)n_consts;
+  (void)n_leaves;
+  std::vector<Fr> v(n_ops);
+  int rc = tape::tape_exec(op, a, b, c, aux, n_ops, consts, leaves, v);
+  if (rc > 1) return rc;
+  if (full_limbs != nullptr) {
+    for (size_t s = 0; s < n_full; s++)
+      tape::emit_limbs(v[full_slots[s]], full_limbs + s * 24);
+  }
+  for (size_t s = 0; s < n_bit; s++)
+    bits_out[s] = (uint8_t)(v[bit_slots[s]].l[0] & 1);
+  for (size_t s = 0; s < n_nonbit; s++)
+    tape::emit_limbs(v[nonbit_slots[s]], nonbit_limbs + s * 24);
+  return rc;
 }
 
 }  // extern "C"

@@ -177,10 +177,133 @@ def main():
               f" {audit_s or 'none'} |")
 
 
+
+
+def _a2a_payload_bytes(fn, *args):
+    """Sum the element bytes of every all-to-all in the compiled HLO
+    (start ops only; XLA prints each op's result shape)."""
+    import re
+
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    dt_bytes = {"s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+                "f32": 4, "s32": 4, "u32": 4, "s64": 8, "u64": 8,
+                "f64": 8}
+    total = 0
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line.startswith("%all-to-all"):
+            continue
+        # "%all-to-all.N = (s32[16,16,24]{...}, ...) all-to-all(...)":
+        # sum the RESULT tuple shapes (the part before the opcode call)
+        head = line.split(" all-to-all(")[0]
+        for m in re.finditer(r"(\w+)\[([\d,]*)\]", head):
+            dt, dims = m.group(1), m.group(2)
+            if dt not in dt_bytes:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * dt_bytes[dt]
+    return total
+
+
+def scaling_model():
+    """Predicted multi-chip scaling efficiency (the honest substitute
+    for unreachable hardware; the thesis's own move is the Amdahl
+    analysis of Chapter6.tex, 88.5% parallel fraction).
+
+    Per workload and mesh width N:
+      T_compute(N) = T1 / N          (kernels are linear in the shard)
+      T_comm(N)    = payload(N) / BW (payload measured from the
+                                      compiled HLO at small n, scaled
+                                      linearly in n — verified below)
+      eff(N)       = T1 / (N * (T_compute + T_comm))
+
+    T1 values are the round-5 single-chip measurements (LARGE.json /
+    PERF.md); bandwidths are stated assumptions, not measurements:
+    v5e ICI ~90 GB/s usable per chip for the all-to-all shuffle phase
+    (2D torus, 4 links; public v5e spec 1600 Gbps/chip aggregate), and
+    DCN ~12.5 GB/s per host for the cross-host fallback.
+    """
+    L_BYTES = 24 * 4  # Fr element: 24 int32 limbs on the wire
+    ICI = 90e9
+    DCN = 12.5e9
+
+    # -- verify the payload model against compiled HLO at small n -----------
+    print("# payload-model verification (compiled HLO, 8-dev mesh)")
+    print("| n | measured a2a bytes/dev | model n*L*4*(N-1)/N |")
+    print("|---|---|---|")
+    mesh = pm.default_mesh(8)
+    for log_n in (14, 16):
+        n = 1 << log_n
+        x = jnp.zeros((n, 24), jnp.int32)
+        tabs = pm.mesh_ntt_tables(n, 8)
+        fn = lambda x, t: pm.sharded_ntt_mxu(n, x, mesh, t)
+        got = _a2a_payload_bytes(fn, x, tabs)
+        # HLO shapes are per-device shards: the shuffle moves the whole
+        # shard, (N-1)/N of it across links
+        model = n * L_BYTES // 8
+        print(f"| 2^{log_n} | {got} | {model} |")
+
+    # -- predicted efficiency ------------------------------------------------
+    # single-chip T1 seconds (round-5 v5e measurements)
+    t1 = {
+        "g1_msm_2^20": 1.512,
+        "g1_msm_2^24": 23.75,
+        "ntt_2^20_chain": 0.060,   # coset_fft+icoset chain, dispatch incl
+        "ntt_2^23_chain": 0.767,
+    }
+    sizes = {
+        "g1_msm_2^20": 1 << 20,
+        "g1_msm_2^24": 1 << 24,
+        "ntt_2^20_chain": 1 << 20,
+        "ntt_2^23_chain": 1 << 23,
+    }
+    # communication per device per run: MSM gathers W packed window
+    # partials (~KB, negligible); each NTT transform does ONE all-to-all
+    # of its shard (verified above); the coset chain runs 2 transforms
+    # +2 for H(x)-style chains we model the 2-transform chain
+    a2a_per_run = {
+        "g1_msm_2^20": 0, "g1_msm_2^24": 0,
+        "ntt_2^20_chain": 2, "ntt_2^23_chain": 2,
+    }
+    msm_fixed = 0.004  # per-shard combine kernel + partial gather (s)
+
+    print()
+    print("# predicted scaling efficiency vs the >=80% target")
+    print("| workload | N | link | T_comp ms | T_comm ms | eff % |"
+          " >=80%? |")
+    print("|---|---|---|---|---|---|---|")
+    for name, T1 in t1.items():
+        n = sizes[name]
+        for N in (4, 8, 16):
+            for link, bw in (("ICI", ICI), ("DCN", DCN)):
+                t_comp = T1 / N
+                shard_bytes = n * L_BYTES / N
+                t_comm = (a2a_per_run[name] * shard_bytes * (N - 1) / N
+                          / bw)
+                if name.startswith("g1_msm"):
+                    t_comm += msm_fixed
+                eff = T1 / (N * (t_comp + t_comm))
+                ok = "yes" if eff >= 0.80 else "no"
+                print(f"| {name} | {N} | {link} | {t_comp*1e3:.1f} |"
+                      f" {t_comm*1e3:.2f} | {eff*100:.1f} | {ok} |")
+    print()
+    print("MSM scales near-linearly at every width (communication is W")
+    print("packed partials, kilobytes); the NTT chain is the")
+    print("communication-bound workload — its all-to-all moves the full")
+    print("shard each transform, so efficiency holds >=80% on ICI at")
+    print("2^23 but falls below it on DCN for small domains, matching")
+    print("the four-step analysis (parallel/mesh.py).")
+
+
 if __name__ == "__main__":
     if "--replay" in sys.argv:
         replay()
     elif "--audit-mxu" in sys.argv:
         audit_mxu_ntt()
+    elif "--model" in sys.argv:
+        scaling_model()
     else:
         main()

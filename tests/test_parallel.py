@@ -226,3 +226,22 @@ def test_engine_mesh_mode(mesh8, monkeypatch):
 
     assert got == want
     assert (got_h == want_h).all()
+
+
+def test_ntt_mesh_collective_payload_model(mesh8):
+    """The scaling model (scripts/scaling_report.py --model) assumes the
+    mesh NTT issues ONE logical all-to-all whose per-device payload is
+    exactly the shard (n * L * 4 / N bytes).  Pin that contract against
+    the compiled HLO so a layout change invalidates the model loudly."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from scripts.scaling_report import _a2a_payload_bytes
+
+    n = 1 << 12
+    x = jnp.zeros((n, 24), jnp.int32)
+    tabs = pm.mesh_ntt_tables(n, 8)
+    got = _a2a_payload_bytes(
+        lambda x, t: pm.sharded_ntt_mxu(n, x, mesh8, t), x, tabs)
+    assert got == n * 24 * 4 // 8

@@ -187,6 +187,39 @@ def test_tape_persistence_roundtrip(tmp_path):
         wtape.CompiledTape.load(path)
 
 
+def test_run_split_matches_full():
+    out = _output_witness(9)
+    tape, _ = wtape.trace_circuit(out)
+    leaves = out.witness_leaves()
+    full = tape.run(leaves)
+    full2, bits, nonbit = tape.run_split(leaves)
+    assert np.array_equal(full2, full)
+    assert bits.size and bits.max() <= 1
+    bit_slots, nonbit_slots, perm = tape.bit_plan()
+    rows = np.zeros((len(bits) + len(nonbit), full.shape[1]), np.int16)
+    rows[: len(bits), 0] = bits
+    rows[len(bits):] = nonbit
+    assert np.array_equal(rows[perm], full)
+
+
+def test_expand_jit_reconstructs_assignment():
+    import jax.numpy as jnp
+
+    from zcash_gpu_thesis_tpu.groth16.prover import _get_expand
+    from zcash_gpu_thesis_tpu.utils.limbs import pack_limbs_bytes
+
+    out = _output_witness(11)
+    tape, _ = wtape.trace_circuit(out)
+    leaves = out.witness_leaves()
+    full = tape.run(leaves)
+    _, bits, nonbit = tape.run_split(leaves, full=False)
+    got = _get_expand()(
+        jnp.asarray(np.packbits(bits)),
+        jnp.asarray(pack_limbs_bytes(nonbit)),
+        jnp.asarray(tape.bit_plan()[2]), n_bits=len(bits))
+    assert np.array_equal(np.asarray(got), full)
+
+
 def test_zero_division_flags_replay():
     t = wv.Tape()
     x = t.leaf(0, 0)

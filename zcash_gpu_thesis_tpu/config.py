@@ -41,10 +41,11 @@ def msm_config() -> MsmConfig:
     impl = os.environ.get("ZKTPU_MSM_IMPL", "pallas" if on_tpu else "xla")
     return MsmConfig(
         impl=impl,
-        # c=6 measured optimum on v5e (215 ms vs 225 at c=5, 252 at c=8
-        # for the 131k G1 MSM): madd work ~W=43 vs the one-hot select's
-        # ~2^(c-1) growth
-        c=int(os.environ.get("ZKTPU_MSM_C", "6")),
+        # c=7 measured optimum on v5e for the 131k G1 full device sweep
+        # (204.7 ms vs 213.7 at c=6, 222.4 at c=5, round-5 kbench):
+        # madd work ~W=37 shrinks faster than the one-hot select's
+        # ~2^(c-1) growth costs up to this width
+        c=int(os.environ.get("ZKTPU_MSM_C", "7")),
         chunks=int(os.environ.get("ZKTPU_MSM_CHUNKS",
                                   "32" if on_tpu else "8")),
         k_inner=int(os.environ.get("ZKTPU_MSM_K", "4")),
@@ -129,6 +130,16 @@ def msm_hybrid_windows() -> int:
     from . import native as NV
 
     return -1 if (_backend() != "cpu" and NV.available()) else 0
+
+
+def msm_hybrid_c() -> int:
+    """G1 window width when the hybrid host split is active
+    (ZKTPU_MSM_HYBRID_C).  Measured on v5e at 131k: the hybrid total is
+    best at c=6 (0.19 s; the host absorbs ~5 of 43 cheap-per-window
+    sweeps) while the pure-device sweep is best at c=7 (204.7 ms vs
+    213.7) — the host share shrinks faster than the device sweep gains
+    as windows widen, so the two modes want different widths."""
+    return int(os.environ.get("ZKTPU_MSM_HYBRID_C", "6"))
 
 
 def g2_c() -> int:

@@ -640,7 +640,7 @@ class BlsEngine:
             out = self._msm_dev(group_name, bases, scal_dev)
             return lambda: out
 
-        from ..config import g2_pad_floor, g2_pallas_params
+        from ..config import g2_pad_floor, g2_pallas_params, msm_hybrid_c
         from ..ops import curve as cv
         from ..ops import msm_pallas as MP
 
@@ -649,7 +649,17 @@ class BlsEngine:
         group = cv.G1 if group_name == "g1" else cv.G2
         floor = g2_pad_floor() if group_name == "g2" else 1
         quantum = 128 if group_name == "g1" else 0
-        c = self._c_for(group_name)
+        # The hybrid split and the pure-device sweep have different
+        # measured-optimal G1 window widths (config.msm_hybrid_c); decide
+        # hybrid participation before the digit plane is built.
+        will_hybrid = False
+        if host_limbs is not None:
+            from .. import native as NV
+            from ..config import msm_hybrid_windows
+
+            will_hybrid = NV.available() and msm_hybrid_windows() != 0
+        c = (msm_hybrid_c() if will_hybrid and group_name == "g1"
+             else self._c_for(group_name))
         compact = scal_dev.shape[0] >= len(bases)
         aff, n_pad, nz_idx = self._cached_affine(
             bases, from_ints, floor, compact=compact, quantum=quantum)
@@ -715,12 +725,10 @@ class BlsEngine:
             return resolve
 
         hw = 0
-        if host_limbs is not None:
-            from .. import native as NV
+        if will_hybrid:
             from ..config import msm_hybrid_windows
 
-            if NV.available():
-                hw = msm_hybrid_windows()
+            hw = msm_hybrid_windows()
         if hw != 0:
             import threading
 

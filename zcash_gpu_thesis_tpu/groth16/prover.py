@@ -31,6 +31,37 @@ _TIMING = os.environ.get("ZKTPU_PROVER_TIMING", "") not in ("", "0")
 last_timings: dict = {}
 
 _unpack_jit = None
+_expand_jit = None
+_perm_dev_cache: dict = {}
+
+
+def _get_expand():
+    """Device-side rebuild of the wire limb array from the bit-packed
+    upload: unpack bit bytes -> one-limb rows, unpack the non-boolean
+    sidecar limbs, and restore wire order with one gather over the
+    shape-level permutation (wtape.CompiledTape.bit_plan)."""
+    global _expand_jit
+    if _expand_jit is None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..constants import FR_LIMBS
+        from ..utils.limbs import unpack_limbs_bytes
+
+        def expand(bits_packed, nonbit_packed, perm, *, n_bits):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.int32)
+            bits = ((bits_packed.astype(jnp.int32)[:, None] >> shifts)
+                    & 1).reshape(-1)[:n_bits].astype(jnp.int16)
+            bit_rows = jnp.pad(bits[:, None], ((0, 0), (0, FR_LIMBS - 1)))
+            nonbit = unpack_limbs_bytes(
+                nonbit_packed, L=FR_LIMBS).astype(jnp.int16)
+            z = jnp.concatenate([bit_rows, nonbit], axis=0)
+            return jnp.take(z, perm, axis=0)
+
+        _expand_jit = jax.jit(expand, static_argnames=("n_bits",))
+    return _expand_jit
 
 
 def _get_unpack():
@@ -143,11 +174,19 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
 
     prover = None
     asg_arr = None  # canonical int16 limb array [n_vars, L] (device path)
+    asg_bits = asg_nonbit = None  # bit-plan split upload (large circuits)
     if device_scalars and tape is not None:
         # Compiled-speed witness synthesis: replay the recorded tape over
         # this proof's leaves in native code (the reference's witness-gen
         # is compiled Rust inside create_proof, prover.rs:84-190,226).
-        asg_arr = tape.run(circuit.witness_leaves())
+        plan = tape.bit_plan()
+        if tape.n_vars >= (1 << 19) and len(plan[0]) > 4 * len(plan[1]):
+            # bit-dominated circuit (Sprout): upload 1 bit per boolean
+            # wire + a small sidecar instead of 18 B of limbs per wire
+            asg_arr, asg_bits, asg_nonbit = tape.run_split(
+                circuit.witness_leaves())
+        else:
+            asg_arr = tape.run(circuit.witness_leaves())
         n_constraints = tape.n_constraints
         n_in = tape.n_inputs
         n_vars = tape.n_vars
@@ -219,10 +258,23 @@ def create_proof(engine, circuit, params: Parameters, r: int, s: int) -> Proof:
             assignment = prover.input_assignment + prover.aux_assignment
             asg_arr = Ff.batch_to_limbs(Ff.FR, assignment,
                                         mont=False).astype(np.int16)
-        # densest wire form: 2 limbs per 3 bytes, unpacked on device —
-        # the assignment is the proof's one big upload (Sprout: 2.2M
-        # variables; 106 MB as int16, 79 MB packed)
-        asg_dev = _get_unpack()(jnp.asarray(pack_limbs_bytes(asg_arr)))
+        if asg_bits is not None:
+            # bit-plan upload: ~1 bit/wire + sidecar (Sprout: 79 MB ->
+            # <1 MB); wire order restored on device with one gather
+            perm_dev = _perm_dev_cache.get(id(tape))
+            if perm_dev is None:
+                if len(_perm_dev_cache) > 4:
+                    _perm_dev_cache.clear()
+                perm_dev = jnp.asarray(tape.bit_plan()[2])
+                _perm_dev_cache[id(tape)] = perm_dev
+            asg_dev = _get_expand()(
+                jnp.asarray(np.packbits(asg_bits)),
+                jnp.asarray(pack_limbs_bytes(asg_nonbit)),
+                perm_dev, n_bits=len(asg_bits))
+        else:
+            # densest full-wire form: 2 limbs per 3 bytes, unpacked on
+            # device — the assignment is the proof's one big upload
+            asg_dev = _get_unpack()(jnp.asarray(pack_limbs_bytes(asg_arr)))
         aux_dev = asg_dev[n_in:]
         t0 = _t("pack/upload", t0)
         if compiled is None or (

@@ -93,6 +93,57 @@ class CompiledTape:
     def n_vars(self):
         return len(self.input_slots) + len(self.aux_slots)
 
+    # -- bit plan -------------------------------------------------------------
+
+    def bit_plan(self):
+        """(bit_slots, nonbit_slots, perm): a shape-level split of the
+        wire vector into provably-{0,1} wires and the rest.
+
+        Sprout's 2.2M wires are ~99% booleans (SHA256 gadgets); uploading
+        18 bytes of packed limbs per bit-valued wire is ~100x its
+        information content.  With this plan the proof uploads 1 bit per
+        boolean wire plus a small non-boolean sidecar, and the device
+        rebuilds wire order with one gather over ``perm``
+        (rustzcash.rs:945-1090 is the reference entry this serves).
+
+        Bitness is a forward dataflow lattice over the tape: ops that
+        produce {0,1} by construction seed it, SELECT/XOR/AND/OR
+        propagate it.  Cached after the first call.
+        """
+        if getattr(self, "_bit_plan", None) is None:
+            from .. import wv
+
+            op = self.op
+            bit = np.zeros(len(op), bool)
+            bit |= np.isin(op, (wv.BIT, wv.ANDN, wv.NOR, wv.NOT1,
+                                wv.ISNZ))
+            if len(self.consts):
+                cvals = (self.consts[:, 0] <= 1) & (
+                    self.consts[:, 1:] == 0).all(axis=1)
+                is_const = op == wv.CONST
+                bit[is_const] = cvals[self.a[is_const]]
+            prop2 = np.isin(op, (wv.LXOR, wv.LAND, wv.LOR))
+            prop3 = op == wv.SELECT
+            # forward DAG: iterate to fixpoint (chain depth is small)
+            while True:
+                nxt = bit.copy()
+                nxt[prop2] = bit[self.a[prop2]] & bit[self.b[prop2]]
+                nxt[prop3] = bit[self.a[prop3]] & bit[self.b[prop3]]
+                if np.array_equal(nxt, bit):
+                    break
+                bit = nxt
+            wires = np.concatenate([self.input_slots, self.aux_slots])
+            is_bit = bit[wires]
+            bit_w = np.nonzero(is_bit)[0].astype(np.int32)
+            nonbit_w = np.nonzero(~is_bit)[0].astype(np.int32)
+            perm = np.empty(len(wires), np.int32)
+            perm[bit_w] = np.arange(len(bit_w), dtype=np.int32)
+            perm[nonbit_w] = len(bit_w) + np.arange(len(nonbit_w),
+                                                    dtype=np.int32)
+            self._bit_plan = (wires[bit_w].astype(np.int32),
+                              wires[nonbit_w].astype(np.int32), perm)
+        return self._bit_plan
+
     @staticmethod
     def from_trace(tape: wv.Tape, n_constraints: int) -> "CompiledTape":
         consts = np.zeros((len(tape.consts), 4), np.uint64)
@@ -158,9 +209,67 @@ class CompiledTape:
                                  "(invalid witness)")
         return out
 
-    def _run_py(self, leaves) -> np.ndarray:
-        from ..utils.limbs import ints_to_limbs_fast
+    def run_split(self, leaves, full: bool = True):
+        """Replay with the bit-plan split outputs: (full_limbs | None,
+        bits uint8 [n_bit], nonbit_limbs int16 [n_nonbit, L]).  The
+        bit/nonbit pair is the dense upload form for bit-dominated
+        circuits; ``full`` additionally materializes the whole wire limb
+        array host-side (the hybrid MSM host windows consume it — cheap
+        memory, the saving is the transfer)."""
+        import ctypes
 
+        from .. import native as NV
+
+        bit_slots, nonbit_slots, _ = self.bit_plan()
+        l = NV.lib() if NV.available() else None
+        if l is None or not hasattr(l, "zktpu_tape_run_split"):
+            tape = self._as_wv_tape()
+            vals, zdiv = wv.replay_py(tape, leaves)
+            if zdiv:
+                raise SynthesisError("tape replay: division by zero")
+            from ..utils.limbs import ints_to_limbs_fast
+
+            bits = np.asarray([vals[s] for s in bit_slots], np.uint8)
+            nonbit = ints_to_limbs_fast(
+                [vals[s] for s in nonbit_slots], FR_LIMBS).astype(np.int16)
+            full_l = None
+            if full:
+                slots = np.concatenate([self.input_slots, self.aux_slots])
+                full_l = ints_to_limbs_fast(
+                    [vals[s] for s in slots], FR_LIMBS).astype(np.int16)
+            return full_l, bits, nonbit
+
+        slots = np.concatenate([self.input_slots, self.aux_slots])
+        full_l = np.empty((len(slots), FR_LIMBS), np.int16) if full else None
+        bits = np.empty(len(bit_slots), np.uint8)
+        nonbit = np.empty((len(nonbit_slots), FR_LIMBS), np.int16)
+        leaf_w = np.ascontiguousarray(self._leaf_words(leaves))
+
+        def p(arr, ty):
+            return arr.ctypes.data_as(ctypes.POINTER(ty))
+
+        rc = l.zktpu_tape_run_split(
+            p(self.op, ctypes.c_uint8), p(self.a, ctypes.c_int32),
+            p(self.b, ctypes.c_int32), p(self.c, ctypes.c_int32),
+            p(self.aux, ctypes.c_int16), ctypes.c_size_t(len(self.op)),
+            p(self.consts, ctypes.c_uint64),
+            ctypes.c_size_t(self.consts.shape[0]),
+            p(leaf_w, ctypes.c_uint64), ctypes.c_size_t(leaf_w.shape[0]),
+            p(slots, ctypes.c_int32), ctypes.c_size_t(len(slots)),
+            (p(full_l, ctypes.c_int16) if full else
+             ctypes.cast(None, ctypes.POINTER(ctypes.c_int16))),
+            p(bit_slots, ctypes.c_int32), ctypes.c_size_t(len(bit_slots)),
+            p(bits, ctypes.c_uint8),
+            p(nonbit_slots, ctypes.c_int32),
+            ctypes.c_size_t(len(nonbit_slots)),
+            p(nonbit, ctypes.c_int16),
+        )
+        if rc != 0:
+            raise SynthesisError("tape replay: division by zero "
+                                 "(invalid witness)")
+        return full_l, bits, nonbit
+
+    def _as_wv_tape(self) -> wv.Tape:
         tape = wv.Tape()
         tape.op = self.op.tolist()
         tape.a = self.a.tolist()
@@ -171,7 +280,12 @@ class CompiledTape:
                                for k, w in enumerate(row)))
                        for row in self.consts]
         tape.n_leaves = self.n_leaves
-        vals, zdiv = wv.replay_py(tape, leaves)
+        return tape
+
+    def _run_py(self, leaves) -> np.ndarray:
+        from ..utils.limbs import ints_to_limbs_fast
+
+        vals, zdiv = wv.replay_py(self._as_wv_tape(), leaves)
         if zdiv:
             raise SynthesisError("tape replay: division by zero "
                                  "(invalid witness)")
@@ -182,17 +296,7 @@ class CompiledTape:
     def values(self, leaves):
         """Python-int wire values (input list, aux list) — the oracle
         path for tests and for engines that want plain ints."""
-        tape = wv.Tape()
-        tape.op = self.op.tolist()
-        tape.a = self.a.tolist()
-        tape.b = self.b.tolist()
-        tape.c = self.c.tolist()
-        tape.aux = self.aux.tolist()
-        tape.consts = [int(sum(int(w) << (64 * k)
-                               for k, w in enumerate(row)))
-                       for row in self.consts]
-        tape.n_leaves = self.n_leaves
-        vals, zdiv = wv.replay_py(tape, leaves)
+        vals, zdiv = wv.replay_py(self._as_wv_tape(), leaves)
         if zdiv:
             raise SynthesisError("tape replay: division by zero")
         return ([vals[s] for s in self.input_slots],

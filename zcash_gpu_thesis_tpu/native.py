@@ -69,6 +69,14 @@ def lib() -> Optional[ctypes.CDLL]:
                 u64p, ctypes.c_size_t, u64p, ctypes.c_size_t,
                 i32p, ctypes.c_size_t, i16p,
             ]
+            l.zktpu_tape_run_split.restype = ctypes.c_int
+            l.zktpu_tape_run_split.argtypes = [
+                u8p, i32p, i32p, i32p, i16p, ctypes.c_size_t,
+                u64p, ctypes.c_size_t, u64p, ctypes.c_size_t,
+                i32p, ctypes.c_size_t, i16p,
+                i32p, ctypes.c_size_t, u8p,
+                i32p, ctypes.c_size_t, i16p,
+            ]
         _lib = l
     return _lib
 

@@ -225,7 +225,7 @@ def ntt_rows(logs):
     return rows
 
 
-def msm_rows(logs, g2_log=None):
+def msm_rows(logs, g2_logs=()):
     """Production Pallas bucket path (window sums, the device-side hot
     loop) at each size; model = n * W mixed adds."""
     import random as _r
@@ -244,7 +244,7 @@ def msm_rows(logs, g2_log=None):
     rows = []
 
     def one(group, log_n, nbase, from_ints, rand_pts, tag, nc, c,
-            chunks, k_inner):
+            chunks, k_inner, slice_n=1 << 20):
         """Production bucket config per group: G1 c=6/(16,8), G2 the
         g2_c()/g2_pallas_params() defaults — the kernels every proof
         actually runs (round-3 VERDICT: no stale-config rows)."""
@@ -265,7 +265,7 @@ def msm_rows(logs, g2_log=None):
         # window_sums form pays an XLA suffix scan over the full bucket
         # tensor that the fused kernel eliminated
         fn = lambda a, d: MP.msm_device_proj(group, a, d, c, chunks,
-                                             k_inner)
+                                             k_inner, slice_n=slice_n)
         ops = n * w * nc * nc * (11 * 3 * L * L + 14 * 8 * L)
         t = time_fn(fn, aff, digits, iters=2)
         rows.append((f"{tag}_msm_dev[2^{log_n},c={c}]", t, 0.0, ops))
@@ -276,9 +276,15 @@ def msm_rows(logs, g2_log=None):
     for log_n in logs:
         one(cv.G1, log_n, 64, cv.g1_affine_from_ints, O.random_g1_points,
             "g1", 1, c1, 16, 8)
-    if g2_log:
+    for g2_log in g2_logs:
+        ck = g2_pallas_params()
+        sl = 1 << 16  # g2_pad_floor: every G2 MSM slices at 2^16
+        if (1 << g2_log) > sl:
+            # chained-state sweeps run at half lane width (the init-form
+            # kernel's VMEM state does not fit at 16 chunks; engine.py)
+            ck = (max(ck[0] // 2, 4), ck[1])
         one(cv.G2, g2_log, 8, cv.g2_affine_from_ints, O.random_g2_points,
-            "g2", 2, g2_c(), *g2_pallas_params())
+            "g2", 2, g2_c(), ck[0], ck[1], slice_n=sl)
     return rows
 
 
@@ -306,7 +312,7 @@ def report(full: bool = False) -> str:
     rows = (field_rows([1 << 13, 1 << 17] + ([1 << 20] if full else []))
             + [compute_only_row()]
             + ntt_rows(ntt_logs)
-            + msm_rows(msm_logs, g2_log=17 if full else None))
+            + msm_rows(msm_logs, g2_logs=(17, 20) if full else ()))
     for name, t, floor, ops in rows:
         tc = t - floor
         if tc <= 0:
