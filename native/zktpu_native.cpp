@@ -1128,6 +1128,9 @@ static inline void emit_limbs(const Fr& x, int16_t* o) {
   }
 }
 
+static void batch_inv(std::vector<Fr>& v, const int32_t* a, size_t i0,
+                      size_t i1, int& zdiv);
+
 // Opcode numbering mirrors zcash_gpu_thesis_tpu/wv.py.
 static int tape_exec(const uint8_t* op, const int32_t* a, const int32_t* b,
                      const int32_t* c, const int16_t* aux, size_t n_ops,
@@ -1135,6 +1138,17 @@ static int tape_exec(const uint8_t* op, const int32_t* a, const int32_t* b,
                      std::vector<Fr>& v) {
   int zdiv = 0;
   for (size_t i = 0; i < n_ops; i++) {
+    if (op[i] == 6) {
+      // batch a run of INDEPENDENT adjacent inversions (operands all
+      // before the run start; depth-sorted tapes group them)
+      size_t j = i;
+      while (j < n_ops && op[j] == 6 && (size_t)a[j] < i) j++;
+      if (j > i + 1) {
+        batch_inv(v, a, i, j, zdiv);
+        i = j - 1;
+        continue;
+      }
+    }
     Fr& o = v[i];
     const int32_t ai = a[i], bi = b[i], ci = c[i];
     const int sh = aux[i];
@@ -1236,6 +1250,43 @@ static int tape_exec(const uint8_t* op, const int32_t* a, const int32_t* b,
     }
   }
   return zdiv;
+}
+
+
+// Montgomery batch inversion over a run of independent INV ops
+// (depth-sorted tapes make them adjacent): 3 muls per element + ONE
+// EGCD per run, bit-identical outputs.  Zero inputs yield 0 and set
+// the zero-division flag (matching the single-op semantics).
+static void batch_inv(std::vector<Fr>& v, const int32_t* a, size_t i0,
+                      size_t i1, int& zdiv) {
+  const size_t m = i1 - i0;
+  std::vector<Fr> pre(m);
+  std::vector<uint8_t> isz(m);
+  Fr acc;
+  acc.l[0] = 1;
+  acc.l[1] = acc.l[2] = acc.l[3] = 0;
+  for (size_t k = 0; k < m; k++) {
+    const Fr& x = v[a[i0 + k]];
+    isz[k] = fr_is_zero(x) ? 1 : 0;
+    pre[k] = acc;
+    if (isz[k]) {
+      zdiv = 1;
+    } else {
+      fr_mul(acc, acc, x);
+    }
+  }
+  Fr inv_all;
+  fr_inv(inv_all, acc);  // product of nonzeros (1 if none) — never 0
+  for (size_t k = m; k-- > 0;) {
+    Fr& o = v[i0 + k];
+    if (isz[k]) {
+      o.l[0] = o.l[1] = o.l[2] = o.l[3] = 0;
+      continue;
+    }
+    const Fr x = v[a[i0 + k]];
+    fr_mul(o, inv_all, pre[k]);
+    fr_mul(inv_all, inv_all, x);
+  }
 }
 
 }  // namespace tape

@@ -29,7 +29,7 @@ from .. import wv
 from ..constants import FR_LIMBS, LIMB_BITS, R
 from .r1cs import ConstraintSystem, SynthesisError, Variable
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: depth-sorted ops (adjacent INVs batch-invert)
 
 
 class TraceAssignment(ConstraintSystem):
@@ -150,12 +150,83 @@ class CompiledTape:
         for i, v in enumerate(tape.consts):
             for k in range(4):
                 consts[i, k] = (v >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
-        return CompiledTape(
+        ct = CompiledTape(
             np.asarray(tape.op, np.uint8), np.asarray(tape.a, np.int32),
             np.asarray(tape.b, np.int32), np.asarray(tape.c, np.int32),
             np.asarray(tape.aux, np.int16), consts, tape.n_leaves,
             np.asarray(tape.input_slots, np.int32),
             np.asarray(tape.aux_slots, np.int32), n_constraints)
+        ct._depth_sort()
+        return ct
+
+    def _depth_sort(self):
+        """Topologically re-sort the ops by dependency depth (stable;
+        INVs first within a depth level).  Any depth order is a valid
+        execution order — operands always sit at strictly smaller depth
+        — and it makes mutually independent inversions ADJACENT, so the
+        native replay runs them as one Montgomery batch inversion
+        (3 muls/element + one EGCD per run) instead of one EGCD each.
+        The EGCD was ~85% of the Spend replay: ~7.6k inversions from the
+        pedersen/edwards chains, ~8 independent per level (the hash's
+        parallel segments)."""
+        op, a, b, c = self.op, self.a, self.b, self.c
+        n = len(op)
+        una = np.isin(op, (wv.NEG, wv.INV, wv.BIT, wv.NOT1, wv.SHR,
+                           wv.ROTR32, wv.ISNZ, wv.MASK64))
+        binr = np.isin(op, (wv.ADD, wv.SUB, wv.MUL, wv.LXOR, wv.LAND,
+                            wv.ANDN, wv.NOR, wv.LOR))
+        tern = np.isin(op, (wv.SELECT, wv.CH32, wv.MAJ32))
+        use_a = una | binr | tern
+        use_b = binr | tern
+        use_c = tern
+        oplist = op.tolist()
+        al, bl, cl = a.tolist(), b.tolist(), c.tolist()
+        ual, ubl, ucl = use_a.tolist(), use_b.tolist(), use_c.tolist()
+        dl = [0] * n       # plain dependency depth (topological tiebreak)
+        il = [0] * n       # INV-chain depth: INV count on the longest path
+        INV = wv.INV
+        for i in range(n):
+            d = v = 0
+            if ual[i]:
+                j = al[i]
+                d, v = dl[j] + 1, il[j]
+                if ubl[i]:
+                    j = bl[i]
+                    if dl[j] + 1 > d:
+                        d = dl[j] + 1
+                    if il[j] > v:
+                        v = il[j]
+                if ucl[i]:
+                    j = cl[i]
+                    if dl[j] + 1 > d:
+                        d = dl[j] + 1
+                    if il[j] > v:
+                        v = il[j]
+            if oplist[i] == INV:
+                v += 1
+            dl[i] = d
+            il[i] = v
+        depth = np.asarray(dl, np.int32)
+        invd = np.asarray(il, np.int32)
+        # (inv-depth, non-INV flag, depth, index) is a topological order
+        # — inv-depth and depth are both monotone along edges, and an
+        # INV's operand has strictly smaller inv-depth — that makes each
+        # inv-level's (mutually independent) inversions CONTIGUOUS
+        not_inv = (op != wv.INV).astype(np.int8)
+        order = np.lexsort((np.arange(n), depth, not_inv, invd))
+        new_index = np.empty(n, np.int32)
+        new_index[order] = np.arange(n, dtype=np.int32)
+        self.op = op[order]
+        self.aux = self.aux[order]
+        ra = a[order].copy()
+        rb = b[order].copy()
+        rc = c[order].copy()
+        ra[use_a[order]] = new_index[a[order][use_a[order]]]
+        rb[use_b[order]] = new_index[b[order][use_b[order]]]
+        rc[use_c[order]] = new_index[c[order][use_c[order]]]
+        self.a, self.b, self.c = ra, rb, rc
+        self.input_slots = new_index[self.input_slots]
+        self.aux_slots = new_index[self.aux_slots]
 
     # -- replay --------------------------------------------------------------
 
