@@ -540,6 +540,84 @@ def bench_gen():
         "h_bases": len(p.h)}))
 
 
+def bench_sprout(repeat: int = 2, emit: bool = True):
+    """Warm Sprout JoinSplit proof (1,989,085 constraints, 2^21 domain)
+    with full phase split — the largest circuit the reference ships
+    (circuit/sprout/mod.rs:465).  The thesis benchmarks only Spend, so
+    there is no direct reference number; the honest yardstick is the
+    reference CPU prover's measured throughput on Spend (2.0 s for a
+    2^17 domain + ~437k MSM points) scaled by Sprout's ~20x constraint
+    count => ~40 s-class on the i7-7700HQ.  vs_baseline uses that
+    scaling estimate."""
+    import os
+
+    from zcash_gpu_thesis_tpu.ffi import api as A
+    from zcash_gpu_thesis_tpu.groth16 import prover as P, witness
+    from zcash_gpu_thesis_tpu.protocol import codecs, sprout as H
+
+    witness.set_params_dir("params_cache")
+    path = os.path.join("params_cache", "sprout-groth16.params")
+    if not os.path.exists(path):
+        raise SystemExit("sprout params missing (examples/sprout_demo.py)")
+    t0 = time.perf_counter()
+    with open(path, "rb") as f:
+        sp = codecs.params_from_bytes(f.read(), check=False)
+    t_params = time.perf_counter() - t0
+
+    rng = random.Random(0x5DBE6259)
+
+    def rand32():
+        return bytes(rng.randrange(256) for _ in range(32))
+
+    phi, h_sig = rand32(), rand32()
+    rt = H.uncommitted()
+    for _ in range(A.SPROUT_TREE_DEPTH):
+        rt = H.merkle_combine(rt, rt)
+    sibling = H.uncommitted()
+    auth = bytes([A.SPROUT_TREE_DEPTH])
+    for _ in range(A.SPROUT_TREE_DEPTH):
+        auth += bytes([32]) + sibling
+    auth += (0).to_bytes(8, "little")
+    out_pk = [H.prf_a_pk(rand32()) for _ in range(2)]
+
+    runs = []
+    for it in range(repeat + 1):  # one warmup (compiles/caches)
+        t0 = time.perf_counter()
+        proof = A.librustzcash_sprout_prove(
+            sp, phi, rt, h_sig,
+            rand32(), 0, rand32(), rand32(), auth,
+            rand32(), 0, rand32(), rand32(), auth,
+            out_pk[0], rand32(), 60_000,
+            out_pk[1], rand32(), 40_000,
+            100_000, 0, rng=rng)
+        wall = time.perf_counter() - t0
+        assert proof is not None and len(proof) == 192
+        runs.append((wall, dict(P.last_timings)))
+    runs = runs[1:]
+    wall, tm = min(runs, key=lambda r: r[0])
+    msm = sum(v for k, v in tm.items() if k.startswith("msm"))
+    out = {
+        "metric": "sprout_joinsplit_proof",
+        "value": round(wall, 3),
+        "unit": "s",
+        # reference-scaled estimate: 2.0 s x (1,989,085 / 98,777)
+        "vs_baseline": round(2.0 * 1989085 / 98777 / wall, 3),
+        "params_load_s": round(t_params, 2),
+        "synthesis_s": round(tm.get("synthesis", 0), 3),
+        "pack_s": round(tm.get("pack/upload", 0), 3),
+        "spmv_s": round(tm.get("spmv (a,b,c)", 0), 3),
+        "fft_s": round(tm.get("fft (h poly)", 0), 3),
+        "msm_s": round(msm, 3),
+        "msm_split": {k.split()[1]: round(v, 3) for k, v in tm.items()
+                      if k.startswith("msm")},
+        "create_proof_total_s": round(tm.get("total", 0), 3),
+        "wall_stats": _stats([w for w, _ in runs]),
+    }
+    if emit:
+        print(json.dumps(out))
+    return out
+
+
 def headline(repeat: int = 10):
     """Default mode: the bare 131k MSM AND the warm whole Spend proof,
     combined into ONE final JSON line (the driver parses the tail line,
@@ -620,7 +698,7 @@ if __name__ == "__main__":
     ap.add_argument("--mode",
                     choices=["headline", "msm", "prover", "spend", "msm20",
                              "msm24", "ntt23", "large", "largeall",
-                             "gen"],
+                             "gen", "sprout"],
                     default="headline")
     ap.add_argument("--scale", type=int, default=1,
                     help="divide the prover-replay sizes (smoke testing)")
@@ -655,3 +733,5 @@ if __name__ == "__main__":
         bench_large_all()
     elif mode == "gen":
         bench_gen()
+    elif mode == "sprout":
+        bench_sprout(min(ns.repeat, 3))
