@@ -587,8 +587,8 @@ def bench_sprout(repeat: int = 2, emit: bool = True):
             sp, phi, rt, h_sig,
             rand32(), 0, rand32(), rand32(), auth,
             rand32(), 0, rand32(), rand32(), auth,
-            out_pk[0], rand32(), 60_000,
-            out_pk[1], rand32(), 40_000,
+            out_pk[0], 60_000, rand32(),
+            out_pk[1], 40_000, rand32(),
             100_000, 0, rng=rng)
         wall = time.perf_counter() - t0
         assert proof is not None and len(proof) == 192

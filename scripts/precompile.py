@@ -151,8 +151,8 @@ def main():
                 sp, phi, rt, h_sig,
                 rand32(), 0, rand32(), rand32(), auth,
                 rand32(), 0, rand32(), rand32(), auth,
-                out_pk[0], rand32(), 60_000,
-                out_pk[1], rand32(), 40_000,
+                out_pk[0], 60_000, rand32(),
+                out_pk[1], 40_000, rand32(),
                 100_000, 0)
             assert proof is not None
             print(f"sprout shape warmed in {time.time()-t0:.1f}s",
